@@ -1,0 +1,135 @@
+"""Index layer tests: build/search/save/load round-trips, scipy interop."""
+import json
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from vsearch_tpu.index import BoTIndex, DenseIndex, IndexType, SparseIndex
+from vsearch_tpu.ops.ell import ELLMatrix
+
+
+@pytest.fixture
+def dense_data(rng):
+    vecs = rng.normal(size=(40, 96)).astype(np.float32)
+    texts = [f"passage number {i}" for i in range(40)]
+    return vecs, texts
+
+
+def brute_topk(q, mat, k):
+    scores = q @ mat.T
+    return np.argsort(-scores, axis=1)[:, :k]
+
+
+def test_dense_index_search(dense_data, rng):
+    vecs, texts = dense_data
+    idx = DenseIndex(dtype=np.float32)
+    idx.set_vectors(vecs)
+    idx.data = texts
+    q = rng.normal(size=(3, 96)).astype(np.float32)
+    res = idx.search(q, k=5)
+    assert res.ids.shape == (3, 5)
+    expect = brute_topk(q, vecs, 5)
+    # bf16/f32 scoring may swap near-ties; check top-1 and set overlap
+    assert (res.ids[:, 0] == expect[:, 0]).all()
+    for b in range(3):
+        assert len(set(res.ids[b]) & set(expect[b])) >= 4
+    assert idx.get_sample(int(res.ids[0, 0])) == texts[res.ids[0, 0]]
+
+
+def test_dense_index_save_load(tmp_path, dense_data):
+    vecs, texts = dense_data
+    idx = DenseIndex()
+    idx.set_vectors(vecs)
+    path = str(tmp_path / "dense.npz")
+    idx.save(path)
+    idx2 = DenseIndex(index_file=path)
+    assert tuple(idx2.vector.shape) == (40, 96)
+    np.testing.assert_allclose(
+        np.asarray(idx2.vector, dtype=np.float32),
+        np.asarray(idx.vector, dtype=np.float32), rtol=1e-2, atol=1e-2)
+
+
+def test_dense_index_torch_pt_interop(tmp_path, dense_data):
+    torch = pytest.importorskip("torch")
+    vecs, _ = dense_data
+    path = str(tmp_path / "dense.pt")
+    torch.save(torch.from_numpy(vecs), path)
+    idx = DenseIndex(index_file=path, dtype=np.float32)
+    np.testing.assert_allclose(np.asarray(idx.vector), vecs, rtol=1e-6)
+
+
+def test_sparse_index_search_and_npz_roundtrip(tmp_path, rng):
+    mat = sp.random(60, 200, density=0.1, format="csr", dtype=np.float32,
+                    random_state=np.random.RandomState(3))
+    idx = SparseIndex()
+    idx.set_vectors(mat)
+    q = rng.normal(size=(2, 200)).astype(np.float32)
+    res = idx.search(q, k=4)
+    expect = brute_topk(q, mat.toarray(), 4)
+    np.testing.assert_array_equal(res.ids, expect)
+
+    # scipy-compatible npz round-trip
+    path = str(tmp_path / "sparse_index.npz")
+    idx.save(path)
+    loaded = sp.load_npz(path)
+    np.testing.assert_allclose(loaded.toarray(), mat.toarray(),
+                               rtol=1e-3, atol=1e-3)
+    idx2 = SparseIndex(index_file=path)
+    res2 = idx2.search(q, k=4)
+    np.testing.assert_array_equal(res2.ids, expect)
+
+
+def test_sparse_index_native_roundtrip(tmp_path, rng):
+    mat = sp.random(30, 150, density=0.08, format="csr", dtype=np.float32,
+                    random_state=np.random.RandomState(4))
+    idx = SparseIndex()
+    idx.set_vectors(mat)
+    path = str(tmp_path / "index.ell.npz")
+    idx.save(path)
+    idx2 = SparseIndex(index_file=path)
+    q = rng.normal(size=(2, 150)).astype(np.float32)
+    np.testing.assert_array_equal(idx2.search(q, 3).ids,
+                                  idx.search(q, 3).ids)
+
+
+def test_sparse_index_sharded_glob_load(tmp_path, rng):
+    shards = [sp.random(20, 100, density=0.1, format="csr",
+                        dtype=np.float32,
+                        random_state=np.random.RandomState(s))
+              for s in range(3)]
+    for i, s in enumerate(shards):
+        sp.save_npz(str(tmp_path / f"shard{i}.npz"), s.tocsr())
+    idx = SparseIndex(index_file=str(tmp_path / "shard*.npz"))
+    assert idx.ell.shape == (60, 100)
+    full = sp.vstack(shards).toarray()
+    q = rng.normal(size=(2, 100)).astype(np.float32)
+    np.testing.assert_array_equal(idx.search(q, 5).ids,
+                                  brute_topk(q, full, 5))
+
+
+def test_bot_index_binary(rng):
+    mat = sp.random(25, 80, density=0.15, format="csr", dtype=np.float32,
+                    random_state=np.random.RandomState(5))
+    mat.data[:] = 1.0
+    idx = BoTIndex()
+    idx.set_vectors(mat)
+    assert idx.ell.is_binary
+    assert idx.index_type == IndexType.BAG_OF_TOKEN
+    q = rng.normal(size=(2, 80)).astype(np.float32)
+    np.testing.assert_array_equal(idx.search(q, 3).ids,
+                                  brute_topk(q, mat.toarray(), 3))
+
+
+def test_low_memory_lazy_data(tmp_path):
+    rows = [{"text": f"passage {i}"} for i in range(10)]
+    p1 = tmp_path / "a.jsonl"
+    p2 = tmp_path / "b.jsonl"
+    p1.write_text("\n".join(json.dumps(r) for r in rows[:6]) + "\n")
+    p2.write_text("\n".join(json.dumps(r) for r in rows[6:]) + "\n")
+    idx = DenseIndex(low_memory=True)
+    idx.load_data([str(p1), str(p2)])
+    assert len(idx) == 10
+    assert idx.get_sample(0) == rows[0]
+    assert idx.get_sample(7) == rows[7]
+    assert idx.get_sample(9) == rows[9]

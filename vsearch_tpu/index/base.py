@@ -1,0 +1,183 @@
+"""Index structures: dense vector index + shared machinery.
+
+TPU-native rebuild of the reference's index layer (reference:
+src/ir/retriever/index.py:16-126). Vectors live on device as jax arrays
+(bf16 by default — fp16 storage on disk for npz interop), search is a
+fused matmul + top-k, and texts are held host-side with an optional
+low-memory byte-offset mode for lazy jsonl reads (the reference's
+low-memory path is broken as written — index.py:68-86 — we implement the
+intended behavior).
+"""
+from __future__ import annotations
+
+import glob as globlib
+import json
+import logging
+from enum import Enum
+from typing import Any, List, NamedTuple, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.search import dense_topk_search
+
+logger = logging.getLogger(__name__)
+
+
+class SearchResults(NamedTuple):
+    """(ids, scores), each [num_queries, k] (reference index.py:16-18)."""
+
+    ids: np.ndarray
+    scores: np.ndarray
+
+
+class IndexType(Enum):
+    DENSE = "dense"
+    SPARSE = "sparse"
+    BAG_OF_TOKEN = "bag_of_token"
+
+
+class _JsonlOffsets:
+    """Byte-offset table for lazy line reads from jsonl file(s)."""
+
+    def __init__(self, files: Sequence[str]):
+        self.files = list(files)
+        self.offsets: List[List[int]] = []
+        for path in self.files:
+            offs = []
+            pos = 0
+            with open(path, "rb") as f:
+                for line in f:
+                    offs.append(pos)
+                    pos += len(line)
+            self.offsets.append(offs)
+        self.counts = [len(o) for o in self.offsets]
+        self.total = sum(self.counts)
+
+    def __len__(self):
+        return self.total
+
+    def get(self, global_index: int) -> Any:
+        cum = 0
+        for path, offs, n in zip(self.files, self.offsets, self.counts):
+            if global_index < cum + n:
+                with open(path, "r", encoding="utf-8") as f:
+                    f.seek(offs[global_index - cum])
+                    return json.loads(f.readline())
+            cum += n
+        raise IndexError(global_index)
+
+
+def _resolve_files(pattern: Union[str, Sequence[str]]) -> List[str]:
+    if isinstance(pattern, (list, tuple)):
+        return list(pattern)
+    files = sorted(globlib.glob(pattern))
+    if not files:
+        raise FileNotFoundError(f"no files match {pattern!r}")
+    return files
+
+
+class DenseIndex:
+    """Dense [N, D] vector index with fused matmul+top-k search
+    (reference ``Index``, src/ir/retriever/index.py:25-126)."""
+
+    index_type = IndexType.DENSE
+
+    def __init__(self, index_file: Optional[str] = None,
+                 data_file: Optional[str] = None, fp16: bool = True,
+                 low_memory: bool = False, dtype=jnp.bfloat16):
+        self.data: Optional[List[Any]] = None
+        self.vector: Optional[jax.Array] = None
+        self.dtype = dtype
+        self.low_memory = low_memory
+        self._lazy: Optional[_JsonlOffsets] = None
+        self._search_fn = None
+        if index_file:
+            self.init_index(index_file, fp16)
+        if data_file:
+            self.load_data(data_file)
+
+    # -- loading -----------------------------------------------------------
+    def init_index(self, index_file: Union[str, Sequence[str]],
+                   fp16: bool = True):
+        files = _resolve_files(index_file)
+        logger.info("Loading %s index from %d file(s)",
+                    self.index_type.value, len(files))
+        shards = [self._load_one(f) for f in files]
+        mat = np.concatenate(shards, axis=0) if len(shards) > 1 else shards[0]
+        self.set_vectors(mat)
+
+    @staticmethod
+    def _load_one(path: str) -> np.ndarray:
+        if path.endswith(".npy"):
+            return np.load(path)
+        if path.endswith(".npz"):
+            with np.load(path) as z:
+                return z[list(z.files)[0]]
+        if path.endswith(".pt"):  # torch-saved reference indexes
+            import torch
+            t = torch.load(path, map_location="cpu", weights_only=True)
+            return t.to_dense().numpy() if t.is_sparse else t.numpy()
+        raise ValueError(f"unknown dense index format: {path}")
+
+    def set_vectors(self, mat: Union[np.ndarray, jax.Array]):
+        self.vector = jnp.asarray(mat, dtype=self.dtype)
+        self._search_fn = None
+
+    def load_data(self, data_file: Union[str, Sequence[str]]):
+        files = _resolve_files(data_file)
+        if self.low_memory:
+            self._lazy = _JsonlOffsets(files)
+        else:
+            data = []
+            for path in files:
+                with open(path, "r", encoding="utf-8") as f:
+                    data.extend(json.loads(l) for l in f)
+            self.data = data
+
+    # -- access ------------------------------------------------------------
+    def get_sample(self, index: int) -> Any:
+        if self._lazy is not None:
+            return self._lazy.get(index)
+        return self.data[index]
+
+    def __len__(self) -> int:
+        if self.data is not None:
+            return len(self.data)
+        if self._lazy is not None:
+            return len(self._lazy)
+        return 0 if self.vector is None else int(self.vector.shape[0])
+
+    # -- search ------------------------------------------------------------
+    def search(self, q_embs, k: int) -> SearchResults:
+        q = jnp.asarray(np.asarray(q_embs), dtype=self.vector.dtype)
+        if self._search_fn is None:
+            self._search_fn = jax.jit(
+                lambda q, vec, k: dense_topk_search(
+                    q, vec, k, precision=jax.lax.Precision.DEFAULT),
+                static_argnums=2)
+        ids, scores = self._search_fn(q, self.vector, k)
+        return SearchResults(np.asarray(ids), np.asarray(scores))
+
+    # -- persistence ---------------------------------------------------------
+    def save(self, path: str):
+        mat = np.asarray(self.vector.astype(jnp.float16))
+        if path.endswith(".npz"):
+            np.savez_compressed(path, vectors=mat)
+        elif path.endswith(".pt"):
+            import torch
+            torch.save(torch.from_numpy(mat.astype(np.float16)), path)
+        else:
+            np.save(path if path.endswith(".npy") else path + ".npy", mat)
+        logger.info("Index saved to %s", path)
+
+    def __str__(self):
+        return (f"Index Type        : {type(self).__name__}\n"
+                f"Vector Shape      : {None if self.vector is None else tuple(self.vector.shape)}\n"
+                f"Vector Dtype      : {None if self.vector is None else self.vector.dtype}\n"
+                f"Number of Texts   : {len(self)}\n")
+
+
+# Back-compat alias mirroring the reference's class name
+Index = DenseIndex

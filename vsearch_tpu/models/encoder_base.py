@@ -1,0 +1,104 @@
+"""Host-side encoder wrapper: tokenize -> static-shape batches -> jitted
+forward.
+
+The reference's encoders run a python batching loop around a torch forward
+(reference: src/ir/encoder/vdr.py:97-179). The TPU version keeps that
+host loop but (a) pads every batch to a fixed (batch, bucket-length) shape
+so each (B, L) pair compiles exactly once, and (b) runs the whole
+mask-and-sparsify pipeline inside the jitted function so nothing but the
+final embedding crosses the device boundary.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def length_buckets(max_len: int, min_bucket: int = 32) -> List[int]:
+    """Doubling buckets: 32, 64, ..., max_len (always includes max_len)."""
+    buckets = []
+    b = min_bucket
+    while b < max_len:
+        buckets.append(b)
+        b *= 2
+    buckets.append(max_len)
+    return buckets
+
+
+def pick_bucket(length: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if length <= b:
+            return b
+    return buckets[-1]
+
+
+class TextEncoderBase:
+    """Shared host-side machinery for VDR/DPR-style text encoders.
+
+    Subclasses provide ``_jit_forward(seq_len, **static_opts)`` returning a
+    compiled fn of (params, ids, token_type_ids, attention_mask).
+    """
+
+    def __init__(self, config, variables, tokenizer):
+        self.config = config
+        self.variables = variables
+        self.tokenizer = tokenizer
+        self._buckets = length_buckets(config.max_len)
+        self._fn_cache: Dict = {}
+
+    # -- tokenization ------------------------------------------------------
+    def encode(self, texts: Union[str, List[str]],
+               max_len: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """Tokenize to fixed-shape numpy arrays (counterpart of reference
+        ``encode``, src/ir/encoder/vdr.py:86-95, but bucket-padded for
+        static shapes)."""
+        max_len = max_len or self.config.max_len
+        if isinstance(texts, str):
+            texts = [texts]
+        id_lists = self.tokenizer.encode_batch(texts, max_length=max_len)
+        longest = max(len(ids) for ids in id_lists)
+        bucket = pick_bucket(longest, length_buckets(max_len))
+        n = len(texts)
+        ids = np.zeros((n, bucket), dtype=np.int32)
+        for i, row in enumerate(id_lists):
+            ids[i, : len(row)] = row
+        attn = (ids != self.tokenizer.pad_id).astype(np.int32)
+        return {
+            "input_ids": ids,
+            "token_type_ids": np.zeros_like(ids),
+            "attention_mask": attn,
+        }
+
+    # -- batching ----------------------------------------------------------
+    def _pad_batch(self, enc: Dict[str, np.ndarray], batch_size: int
+                   ) -> Dict[str, np.ndarray]:
+        n = enc["input_ids"].shape[0]
+        if n == batch_size:
+            return enc
+        pad = batch_size - n
+        return {k: np.pad(v, ((0, pad), (0, 0))) for k, v in enc.items()}
+
+    def _run_batches(self, texts: List[str], batch_size: int,
+                     max_len: int, fn_key, make_fn) -> np.ndarray:
+        """Generic batched forward. ``make_fn(seq_len)`` builds the jitted
+        function; results for padding rows are dropped."""
+        outs = []
+        for start in range(0, len(texts), batch_size):
+            chunk = texts[start: start + batch_size]
+            enc = self.encode(chunk, max_len=max_len)
+            seq_len = enc["input_ids"].shape[1]
+            enc = self._pad_batch(enc, batch_size)
+            key = (fn_key, seq_len, batch_size)
+            if key not in self._fn_cache:
+                self._fn_cache[key] = make_fn(seq_len)
+            out = self._fn_cache[key](
+                self.variables,
+                jnp.asarray(enc["input_ids"]),
+                jnp.asarray(enc["token_type_ids"]),
+                jnp.asarray(enc["attention_mask"]),
+            )
+            outs.append(np.asarray(out[: len(chunk)]))
+        return np.concatenate(outs, axis=0)
