@@ -6,12 +6,19 @@ mesh/collective code (SURVEY.md §4).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force-override: the container presets JAX_PLATFORMS=axon (TPU tunnel)
+# and its sitecustomize imports jax eagerly, so the env var alone is too
+# late — update jax.config directly before any backend is initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,152 @@
+"""Data pipeline tests: jsonl loading, deterministic sharded iteration,
+resume offsets, multi-set interleaving, batch creation layout."""
+import json
+import random
+
+import numpy as np
+import pytest
+
+from tests.helpers import make_tokenizer
+from vsearch_tpu.data import (
+    BiEncoderBatch,
+    BiEncoderDataset,
+    BiEncoderSample,
+    BiEncoderPassage,
+    MultiSetDataIterator,
+    ShardedDataIterator,
+    create_biencoder_batch,
+)
+
+
+def write_jsonl(path, n, with_hard_negs=True):
+    rows = []
+    for i in range(n):
+        rows.append({
+            "question": f"question number {i}",
+            "answers": [f"answer {i}"],
+            "positive_ctxs": [{"text": f"positive passage {i}",
+                               "title": f"title {i}"}],
+            "negative_ctxs": [{"text": f"negative {i} a"},
+                              {"text": f"negative {i} b"}],
+            "hard_negative_ctxs": (
+                [{"text": f"hard negative {i}"}] if with_hard_negs else []),
+        })
+    path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    return rows
+
+
+def test_dataset_load_and_filter(tmp_path):
+    p = tmp_path / "train.jsonl"
+    write_jsonl(p, 5)
+    # one sample without hard negatives gets filtered when required
+    with p.open("a") as f:
+        f.write(json.dumps({"question": "q", "answers": ["a"],
+                            "positive_ctxs": [{"text": "t"}],
+                            "negative_ctxs": [],
+                            "hard_negative_ctxs": []}) + "\n")
+    ds = BiEncoderDataset(str(p))
+    ds.load_data(require_positive=True, require_hard_negative=True)
+    assert len(ds) == 5
+    ds2 = BiEncoderDataset(str(p))
+    ds2.load_data(require_positive=True, require_hard_negative=False)
+    assert len(ds2) == 6
+    s = ds[0]
+    assert isinstance(s, BiEncoderSample)
+    assert s.positive_passages[0].title == "title 0"
+
+
+class ListDataset(list):
+    pass
+
+
+def test_sharded_iterator_covers_and_is_deterministic():
+    ds = ListDataset(range(20))
+    it_a = ShardedDataIterator(ds, shard_id=0, num_shards=2, batch_size=3,
+                               shuffle_seed=7)
+    it_b = ShardedDataIterator(ds, shard_id=1, num_shards=2, batch_size=3,
+                               shuffle_seed=7)
+    a_items = [x for batch in it_a.iterate_ds_data(epoch=0) for x in batch]
+    b_items = [x for batch in it_b.iterate_ds_data(epoch=0) for x in batch]
+    # shards are disjoint
+    assert not (set(a_items) & set(b_items))
+    assert it_a.max_iterations == it_b.max_iterations == 3
+    # deterministic across re-instantiations
+    it_a2 = ShardedDataIterator(ds, shard_id=0, num_shards=2, batch_size=3,
+                                shuffle_seed=7)
+    a2 = [x for batch in it_a2.iterate_ds_data(epoch=0) for x in batch]
+    assert a_items == a2
+    # different epoch -> different permutation
+    it_a3 = ShardedDataIterator(ds, shard_id=0, num_shards=2, batch_size=3,
+                                shuffle_seed=7)
+    a3 = [x for b in it_a3.iterate_ds_data(epoch=1) for x in b]
+    assert a_items != a3
+
+
+def test_sharded_iterator_resume_offset():
+    ds = ListDataset(range(12))
+    full = ShardedDataIterator(ds, batch_size=2, shuffle_seed=3)
+    batches = list(full.iterate_ds_data(epoch=0))
+    resumed = ShardedDataIterator(ds, batch_size=2, shuffle_seed=3,
+                                  offset=2)
+    rbatches = list(resumed.iterate_ds_data(epoch=0))
+    assert rbatches == batches[2:]
+
+
+def test_short_shard_pads_from_head():
+    ds = ListDataset(range(10))  # shards of 5; batch 2 -> 3 iters (ceil)
+    it = ShardedDataIterator(ds, shard_id=1, num_shards=3, batch_size=2)
+    batches = list(it.iterate_ds_data(epoch=0))
+    assert len(batches) == it.max_iterations
+
+
+def test_multiset_iterator_schedule():
+    ds1 = ListDataset(range(8))
+    ds2 = ListDataset([chr(ord("a") + i) for i in range(16)])
+    it1 = ShardedDataIterator(ds1, batch_size=2, shuffle_seed=5)
+    it2 = ShardedDataIterator(ds2, batch_size=2, shuffle_seed=5)
+    multi = MultiSetDataIterator([it1, it2], shuffle_seed=5)
+    out = list(multi.iterate_ds_data(epoch=0))
+    assert len(out) == multi.max_iterations == 4 + 8
+    # each batch comes from exactly one source
+    for batch, src in out:
+        if src == 0:
+            assert all(isinstance(x, int) for x in batch)
+        else:
+            assert all(isinstance(x, str) for x in batch)
+    # deterministic schedule
+    multi2 = MultiSetDataIterator(
+        [ShardedDataIterator(ds1, batch_size=2, shuffle_seed=5),
+         ShardedDataIterator(ds2, batch_size=2, shuffle_seed=5)],
+        shuffle_seed=5)
+    assert [src for _, src in multi2.iterate_ds_data(epoch=0)] == [
+        src for _, src in out]
+
+
+def test_create_biencoder_batch_layout():
+    tok = make_tokenizer()
+    samples = [
+        BiEncoderSample(
+            query=f"question {i}",
+            answers=[f"answer {i}"],
+            positive_passages=[BiEncoderPassage(f"positive {i}", "t")],
+            negative_passages=[BiEncoderPassage(f"negative {i} a"),
+                               BiEncoderPassage(f"negative {i} b")],
+            hard_negative_passages=[BiEncoderPassage(f"hard {i}")],
+        )
+        for i in range(4)
+    ]
+    batch = create_biencoder_batch(
+        tok, tok, samples, q_max_len=16, p_max_len=16,
+        num_hard_negatives=1, num_other_negatives=1,
+        shuffle=False, rng=random.Random(0))
+    assert batch.q_tensor.shape == (4, 16)
+    # [N positives] + [N*2 negatives]
+    assert batch.p_tensor.shape == (12, 16)
+    assert batch.q_tensor.dtype == np.int32
+    # positive rows decode back to the positive passages
+    for i in range(4):
+        decoded = tok.decode(batch.p_tensor[i])
+        assert f"positive {i}" in decoded
+    # negatives follow sample-major
+    assert len(batch.p_texts) == 12
+    assert batch.p_texts[4].startswith("negative 0")

@@ -69,11 +69,15 @@ def test_sparse_index_search_and_npz_roundtrip(tmp_path, rng):
     expect = brute_topk(q, mat.toarray(), 4)
     np.testing.assert_array_equal(res.ids, expect)
 
-    # scipy-compatible npz round-trip
+    # scipy-compatible npz round-trip (f16 on disk, like the reference)
     path = str(tmp_path / "sparse_index.npz")
     idx.save(path)
     loaded = sp.load_npz(path)
-    np.testing.assert_allclose(loaded.toarray(), mat.toarray(),
+    assert loaded.dtype == np.float16
+    loaded32 = sp.csr_matrix(
+        (loaded.data.astype(np.float32), loaded.indices, loaded.indptr),
+        shape=loaded.shape)
+    np.testing.assert_allclose(loaded32.toarray(), mat.toarray(),
                                rtol=1e-3, atol=1e-3)
     idx2 = SparseIndex(index_file=path)
     res2 = idx2.search(q, k=4)

@@ -1,0 +1,146 @@
+"""End-to-end Retriever tests on a tiny model + synthetic vocab:
+build/search all three index types, beta-search rerank, save/load,
+negative mining, explain."""
+import numpy as np
+import pytest
+
+from tests.helpers import make_tokenizer, tiny_bert_config
+from vsearch_tpu.biencoder import BiEncoderConfig
+from vsearch_tpu.index import IndexType
+from vsearch_tpu.retriever import Retriever, RetrieverConfig
+
+CORPUS = [
+    "green tea is a drink",
+    "the red planet mars has ice water on the surface",
+    "einstein wrote the famous theory of relativity",
+    "a big dog runs fast in the city",
+    "the river water runs slow and is small",
+    "physics is the theory of space and time and light",
+]
+
+
+@pytest.fixture(scope="module")
+def retriever():
+    tok = make_tokenizer()
+    enc_cfg = {
+        "type": "vdr",
+        "max_len": 32,
+        "topk": 16,
+        "shift_vocab_num": 5,
+        **{k: v for k, v in vars(tiny_bert_config(tok.vocab_size)).items()
+           if k in ("vocab_size", "hidden_size", "num_hidden_layers",
+                    "num_attention_heads", "intermediate_size",
+                    "max_position_embeddings")},
+    }
+    cfg = RetrieverConfig(encoder_q=dict(enc_cfg),
+                          encoder_p=dict(enc_cfg), shared_encoder=True)
+    return Retriever(cfg, tokenizer=tok)
+
+
+@pytest.mark.parametrize("index_type", ["dense", "sparse", "bag_of_token"])
+def test_build_and_retrieve(retriever, index_type):
+    retriever.build_index(CORPUS, batch_size=4, index_type=index_type)
+    res = retriever.retrieve(["green tea drink", "theory of relativity"],
+                             k=3)
+    assert np.asarray(res.ids).shape == (2, 3)
+    assert np.asarray(res.scores).shape == (2, 3)
+    # scores sorted descending
+    s = np.asarray(res.scores)
+    assert (np.diff(s, axis=1) <= 1e-5).all()
+
+
+def test_sparse_matches_dense_embeddings(retriever):
+    """Sparse(ELL) index over the same embeddings must rank identically
+    to the dense index."""
+    dense_idx = retriever.build_index(CORPUS, batch_size=4,
+                                      index_type="dense")
+    dres = retriever.retrieve(["einstein physics paper"], k=4)
+    retriever.build_index(CORPUS, batch_size=4, index_type="sparse")
+    sres = retriever.retrieve(["einstein physics paper"], k=4)
+    np.testing.assert_array_equal(np.asarray(dres.ids),
+                                  np.asarray(sres.ids))
+    np.testing.assert_allclose(np.asarray(dres.scores),
+                               np.asarray(sres.scores), rtol=2e-2,
+                               atol=2e-2)
+
+
+def test_bot_index_lexical_overlap(retriever):
+    """BoT score == sum of query weights on passage tokens: a query
+    repeating a passage's exact words should hit that passage."""
+    retriever.build_index(CORPUS, batch_size=4,
+                          index_type="bag_of_token")
+    res = retriever.retrieve(["relativity einstein theory famous"], k=2)
+    assert 2 in np.asarray(res.ids)[0]
+
+
+def test_beta_search_rerank(retriever):
+    retriever.build_index(CORPUS, batch_size=4,
+                          index_type="bag_of_token")
+    plain = retriever.retrieve(["the famous theory of relativity"], k=4,
+                               rerank=False)
+    reranked = retriever.retrieve(["the famous theory of relativity"], k=4,
+                                  rerank=True)
+    # rerank returns a permutation of the first-stage candidates
+    assert set(np.asarray(reranked.ids)[0]) == set(np.asarray(plain.ids)[0])
+    s = np.asarray(reranked.scores)
+    assert (np.diff(s, axis=1) <= 1e-5).all()
+
+
+def test_index_save_load_roundtrip(retriever, tmp_path):
+    retriever.build_index(CORPUS, batch_size=4, index_type="sparse")
+    before = retriever.retrieve(["green tea"], k=3)
+    path = str(tmp_path / "idx.npz")
+    retriever.save_index(path)
+    retriever.load_index(index_file=path)
+    retriever.index.data = list(CORPUS)
+    after = retriever.retrieve(["green tea"], k=3)
+    np.testing.assert_array_equal(np.asarray(before.ids),
+                                  np.asarray(after.ids))
+
+
+def test_bot_save_load_scipy_compat(retriever, tmp_path):
+    retriever.build_index(CORPUS, batch_size=4,
+                          index_type="bag_of_token")
+    before = retriever.retrieve(["mars ice water"], k=3)
+    path = str(tmp_path / "idx.bot.npz")
+    retriever.save_index(path)
+    retriever.load_index(index_file=path)  # inferred BAG_OF_TOKEN
+    assert retriever.index.index_type == IndexType.BAG_OF_TOKEN
+    retriever.index.data = list(CORPUS)
+    after = retriever.retrieve(["mars ice water"], k=3)
+    np.testing.assert_array_equal(np.asarray(before.ids),
+                                  np.asarray(after.ids))
+
+
+def test_retrieve_negatives(retriever):
+    retriever.build_index(CORPUS, batch_size=4, index_type="dense")
+    q_emb = retriever.process_query(["who wrote the theory of relativity"])
+    negs = retriever.retrieve_negatives(
+        q_emb, answers=[["einstein"]], ret_neg_num=2, ret_topk=6,
+        pool_size=4, seed=0)
+    assert len(negs) == 1 and len(negs[0]) == 2
+    for text in negs[0]:
+        assert "einstein" not in text.lower()
+    # misspelled reference alias still works
+    negs2 = retriever.retireve_negatives(
+        q_emb, answers=[["einstein"]], ret_neg_num=1, seed=0)
+    assert len(negs2[0]) == 1
+
+
+def test_explain(retriever):
+    d = retriever.explain("green tea", "green tea is a drink", topk=20)
+    assert isinstance(d, dict) and len(d) > 0
+    vals = list(d.values())
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_save_load_pretrained(retriever, tmp_path):
+    path = str(tmp_path / "ckpt")
+    retriever.save_pretrained(path)
+    loaded = Retriever.from_pretrained(path,
+                                       tokenizer=retriever.tokenizer
+                                       if hasattr(retriever, "tokenizer")
+                                       else retriever.encoder_q.tokenizer)
+    e1 = retriever.encoder_q.embed(["green tea"])
+    e2 = loaded.encoder_q.embed(["green tea"])
+    np.testing.assert_allclose(e1, e2, rtol=1e-5, atol=1e-6)

@@ -7,3 +7,15 @@ alpha/beta retrieval, contrastive training over TPU meshes.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level exports (keep `import vsearch_tpu` light)
+    if name in ("Retriever", "RetrieverConfig"):
+        from . import retriever
+        return getattr(retriever, name)
+    if name in ("BiEncoder", "BiEncoderConfig"):
+        from . import biencoder
+        return getattr(biencoder, name)
+    raise AttributeError(name)
+

@@ -152,6 +152,7 @@ class DenseIndex:
     # -- search ------------------------------------------------------------
     def search(self, q_embs, k: int) -> SearchResults:
         q = jnp.asarray(np.asarray(q_embs), dtype=self.vector.dtype)
+        k = min(k, int(self.vector.shape[0]))
         if self._search_fn is None:
             self._search_fn = jax.jit(
                 lambda q, vec, k: dense_topk_search(

@@ -53,9 +53,19 @@ class SparseIndex(DenseIndex):
         self._search_fn = None
 
     def _load_scipy(self, files) -> ELLMatrix:
-        from scipy.sparse import load_npz, vstack
+        from scipy.sparse import csr_matrix, load_npz, vstack
 
-        shards = [load_npz(f) for f in files]
+        def load_f32(path):
+            m = load_npz(path)
+            if m.dtype == np.float16:
+                # modern scipy can't operate on f16 matrices (the reference
+                # stores f16 npz) — rebuild as f32 via the raw constructor
+                m = csr_matrix(
+                    (m.data.astype(np.float32), m.indices, m.indptr),
+                    shape=m.shape)
+            return m
+
+        shards = [load_f32(f) for f in files]
         if self.shift:
             shards = [s[:, self.shift:] for s in shards]
         mat = vstack(shards).tocsr() if len(shards) > 1 else shards[0].tocsr()
@@ -160,9 +170,15 @@ class SparseIndex(DenseIndex):
                     if ell.vals.dtype != np.float16 else ell.vals)
             np.savez_compressed(path, **arrays)
         else:
-            from scipy.sparse import save_npz
+            from scipy.sparse import csr_matrix, save_npz
 
-            save_npz(path, self.ell.to_scipy_csr(dtype=np.float16).tocsr())
+            csr = self.ell.to_scipy_csr(dtype=np.float32).tocsr()
+            # store f16 on disk (reference-compatible format) via the raw
+            # constructor — scipy ops don't support f16 but save/load do
+            csr16 = csr_matrix(
+                (csr.data.astype(np.float16), csr.indices, csr.indptr),
+                shape=csr.shape)
+            save_npz(path, csr16)
         logger.info("Index saved to %s", path)
 
     def __str__(self):

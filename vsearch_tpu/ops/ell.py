@@ -82,10 +82,14 @@ class ELLMatrix:
         cols = np.zeros((n, nnz_pad), dtype=np.int32)
         val_dtype = val_dtype or dense.dtype
         vals = np.zeros((n, nnz_pad), dtype=val_dtype)
-        for i in range(n):
-            (idx,) = np.nonzero(dense[i])
-            cols[i, : idx.size] = idx
-            vals[i, : idx.size] = dense[i, idx]
+        rows_nz, cols_nz = np.nonzero(dense)
+        # position of each nnz within its row (rows_nz is row-major sorted)
+        starts = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            starts[1:] = np.cumsum(counts[:-1], dtype=np.int64)
+        offs = np.arange(rows_nz.size, dtype=np.int64) - starts[rows_nz]
+        cols[rows_nz, offs] = cols_nz
+        vals[rows_nz, offs] = dense[rows_nz, cols_nz]
         return cls(cols=jnp.asarray(cols), nnz=jnp.asarray(counts),
                    vals=jnp.asarray(vals), num_cols=v)
 

@@ -1,0 +1,47 @@
+"""Device mesh helpers: the TPU-native replacement for NCCL process groups.
+
+The reference parallelizes with torch DDP over NCCL (reference:
+src/ir/training/conf_utils.py:19-49). Here a ``jax.sharding.Mesh`` with a
+``dp`` (data/batch) axis and a ``tp`` (vocab/tensor) axis carries all
+parallelism; collectives are inserted by XLA from sharding annotations and
+ride ICI.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: Optional[int] = None, tp: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Create a (dp, tp) mesh over the available devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        if n % tp:
+            raise ValueError(f"{n} devices not divisible by tp={tp}")
+        dp = n // tp
+    if dp * tp != n:
+        devices = devices[: dp * tp]
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over dp."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a pytree of host arrays with batch-dim sharding."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,257 @@
+"""Retriever: the top-level user API (embed, index, search, rerank).
+
+TPU-native rebuild of the reference ``Retriever``
+(reference: src/ir/retriever/retriever.py:24-348): bi-encoder +
+dense/sparse/bag-of-token index, alpha (parametric) and beta
+(semi-parametric, binary-index + on-the-fly rerank) search, in-training
+negative retrieval, tokenizer-only BoT index construction.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import random as pyrandom
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from .biencoder import BiEncoder, BiEncoderConfig
+from .eval.qa_utils import has_answer
+from .index import (BoTIndex, DenseIndex, IndexType, SearchResults,
+                    SparseIndex)
+from .ops.ell import ELLMatrix
+
+logger = logging.getLogger(__name__)
+
+
+def _normalize_text(text: str) -> str:
+    """Unicode-quote/newline normalization applied to passages
+    (reference: src/ir/data/biencoder_dataset.py:27-29)."""
+    import unicodedata
+
+    text = text.replace("’", "'").replace("\n", " ")
+    return unicodedata.normalize("NFD", text)
+
+
+@dataclasses.dataclass
+class RetrieverConfig(BiEncoderConfig):
+    pass
+
+
+class Retriever(BiEncoder):
+    """Bi-encoder with an attached index (reference retriever.py:24-31)."""
+
+    config_class = RetrieverConfig
+
+    def __init__(self, config: RetrieverConfig, index=None, **kwargs):
+        super().__init__(config, **kwargs)
+        self.index = index
+        self.index_type: Optional[IndexType] = (
+            index.index_type if index is not None else None)
+
+    # -- query processing (reference retriever.py:74-104) ------------------
+    def process_query(self, queries, dropout: float = 0.0,
+                      a: Optional[int] = None, batch_size: int = 32,
+                      rng: Optional[np.random.Generator] = None
+                      ) -> np.ndarray:
+        num_activation = a if a is not None else self.encoder_q.config.topk
+        if isinstance(queries, str):
+            q_emb = self.encoder_q.embed([queries], batch_size=batch_size,
+                                         topk=num_activation)
+        elif isinstance(queries, list) and queries and isinstance(
+                queries[0], str):
+            q_emb = self.encoder_q.embed(queries, batch_size=batch_size,
+                                         topk=num_activation)
+        else:
+            q_emb = np.asarray(queries, dtype=np.float32)
+        if dropout:
+            rng = rng or np.random.default_rng()
+            keep = rng.random(q_emb.shape) >= dropout
+            q_emb = q_emb * keep / (1.0 - dropout)
+        return np.asarray(q_emb)
+
+    # -- retrieval (reference retriever.py:107-148) ------------------------
+    def retrieve(self, queries, k: int = 5, dropout: float = 0.0,
+                 a: Optional[int] = None, index=None, rerank: bool = False,
+                 batch_size: int = 32) -> SearchResults:
+        """Top-k retrieval; ``rerank=True`` runs beta search on a
+        bag-of-token index: first-stage binary-index hits are re-embedded
+        on the fly and re-scored parametrically."""
+        index = index if index is not None else self.index
+        assert index is not None, "no index attached"
+        q_emb = self.process_query(queries, dropout, a,
+                                   batch_size=batch_size)
+        results = index.search(q_emb, k=k)
+        if rerank and index.index_type == IndexType.BAG_OF_TOKEN:
+            results = self._beta_rerank(q_emb, results, index, k,
+                                        batch_size)
+        return results
+
+    def _beta_rerank(self, q_emb: np.ndarray, results: SearchResults,
+                     index, k: int, batch_size: int) -> SearchResults:
+        """Second stage of beta search (reference retriever.py:137-147):
+        embed the retrieved texts and re-score against the query."""
+        ret_ids = np.asarray(results.ids)  # [B, k]
+        flat_ids = ret_ids.reshape(-1).tolist()
+        ret_texts = [_passage_text(index.get_sample(i)) for i in flat_ids]
+        p_emb = self.encoder_p.embed(ret_texts, batch_size=batch_size)
+        b = q_emb.shape[0]
+        p_emb = p_emb.reshape(b, k, -1)
+        # [B, k] rerank scores = batched dot products
+        rescored = np.einsum("bkv,bv->bk", p_emb.astype(np.float32),
+                             q_emb.astype(np.float32))
+        order = np.argsort(-rescored, axis=1)
+        new_ids = np.take_along_axis(ret_ids, order, axis=1)
+        new_scores = np.take_along_axis(rescored, order, axis=1)
+        return SearchResults(new_ids, new_scores)
+
+    # -- negative mining (reference retriever.py:150-205) ------------------
+    def retrieve_negatives(self, q_emb, answers: List[List[str]],
+                           ret_neg_num: int = 1, ret_topk: int = 100,
+                           pool_size: int = 20, ret_dropout: float = 0.0,
+                           index=None, seed: Optional[int] = None
+                           ) -> List[List[str]]:
+        """Mine in-training negatives: retrieve top-k, drop
+        answer-containing passages, sample ``ret_neg_num`` per query."""
+        index = index if index is not None else self.index
+        assert index is not None, "no index found"
+        assert answers, "no answer strings found"
+        results = self.retrieve(np.asarray(q_emb), a=768, k=ret_topk,
+                                dropout=ret_dropout, index=index)
+        rnd = pyrandom.Random(seed)
+        batch_neg_texts: List[List[str]] = []
+        for sample_id, sample_ret in enumerate(np.asarray(results.ids)):
+            pool: List[int] = []
+            for ret_ind in sample_ret.tolist():
+                text = _passage_text(index.get_sample(ret_ind))
+                if not has_answer(answers[sample_id], text, "string"):
+                    pool.append(ret_ind)
+                if len(pool) >= pool_size:
+                    break
+            if len(pool) < ret_neg_num:
+                pad = ret_neg_num - len(pool)
+                pool += rnd.sample(range(len(index)), pad)
+            chosen = rnd.sample(pool, ret_neg_num)
+            batch_neg_texts.append(
+                [_normalize_text(_passage_text(index.get_sample(i)))
+                 for i in chosen])
+        return batch_neg_texts
+
+    # reference public API misspelling kept as an alias for drop-in parity
+    retireve_negatives = retrieve_negatives
+
+    # -- index building (reference retriever.py:208-317) -------------------
+    def _build_bot_ell(self, texts: Sequence[str], batch_size: int = 32,
+                       max_len: int = 128, max_token: Optional[int] = None,
+                       num_shift: Optional[int] = None) -> ELLMatrix:
+        """Tokenizer-only bag-of-token vectors, built directly into ELL
+        (no dense [B, V] staging buffer, reference retriever.py:208-253).
+        Embarrassingly parallel and neural-network-free."""
+        import jax.numpy as jnp
+
+        tokenizer = self.encoder_p.tokenizer
+        vocab_size = tokenizer.vocab_size
+        shift = (num_shift if num_shift is not None
+                 else getattr(self.encoder_p.config, "shift_vocab_num", 0))
+        cap = max_token or max_len
+        nnz_pad = max(((cap + 127) // 128) * 128, 128)
+        n = len(texts)
+        cols = np.zeros((n, nnz_pad), dtype=np.int32)
+        nnz = np.zeros(n, dtype=np.int32)
+        for start in range(0, n, batch_size):
+            chunk = texts[start: start + batch_size]
+            id_lists = tokenizer.encode_batch(chunk, max_length=max_len)
+            for i, ids in enumerate(id_lists):
+                # first-n-unique ids >= shift, shifted into index space
+                seen: Dict[int, None] = {}
+                for t in ids:
+                    if t >= shift and t not in seen:
+                        seen[t] = None
+                        if len(seen) >= cap:
+                            break
+                row = np.fromiter(seen.keys(), dtype=np.int32,
+                                  count=len(seen)) - shift
+                cols[start + i, : row.size] = row
+                nnz[start + i] = row.size
+        return ELLMatrix(cols=jnp.asarray(cols), nnz=jnp.asarray(nnz),
+                         vals=None, num_cols=vocab_size - shift)
+
+    def _build_embedding_vectors(self, texts: Sequence[str],
+                                 batch_size: int = 32,
+                                 max_len: Optional[int] = None,
+                                 num_shift: int = 0) -> np.ndarray:
+        emb = self.encode_corpus(list(texts), batch_size=batch_size,
+                                 max_len=max_len)
+        if num_shift:
+            emb = emb[:, num_shift:]
+        return emb
+
+    def build_index(self, texts: Sequence[str], batch_size: int = 32,
+                    index_type: Union[str, IndexType] = IndexType.DENSE,
+                    max_len: Optional[int] = None):
+        if isinstance(index_type, str):
+            index_type = IndexType(index_type.lower())
+        texts = list(texts)
+        if index_type == IndexType.DENSE:
+            index = DenseIndex()
+            index.set_vectors(self._build_embedding_vectors(
+                texts, batch_size=batch_size, max_len=max_len))
+        elif index_type == IndexType.SPARSE:
+            index = SparseIndex()
+            dense = self._build_embedding_vectors(
+                texts, batch_size=batch_size, max_len=max_len)
+            index.set_ell(ELLMatrix.from_dense(dense,
+                                               val_dtype=np.float32))
+        elif index_type == IndexType.BAG_OF_TOKEN:
+            index = BoTIndex()
+            index.set_ell(self._build_bot_ell(
+                texts, batch_size=batch_size,
+                max_len=max_len or 128))
+        else:
+            raise NotImplementedError(index_type)
+        index.data = texts
+        self.index = index
+        self.index_type = index_type
+        return index
+
+    # -- persistence (reference retriever.py:319-348) ----------------------
+    def save_index(self, path: str):
+        self.index.save(path)
+
+    def load_index(self, index_file: Optional[str] = None,
+                   data_file: Optional[str] = None,
+                   index_type: Union[None, str, IndexType] = None):
+        if index_type is None:
+            if index_file.endswith(".pt") or index_file.endswith(".npy"):
+                index_type = IndexType.DENSE
+            elif index_file.endswith(".bot.npz"):
+                index_type = IndexType.BAG_OF_TOKEN
+            elif index_file.endswith(".npz"):
+                index_type = IndexType.SPARSE
+            else:
+                raise ValueError(
+                    "cannot infer index type from file extension; pass "
+                    "index_type explicitly")
+        elif isinstance(index_type, str):
+            index_type = IndexType(index_type.lower())
+        elif not isinstance(index_type, IndexType):
+            raise TypeError("index_type must be IndexType or str")
+        self.index_type = index_type
+        if index_type == IndexType.DENSE:
+            self.index = DenseIndex(index_file, data_file)
+        elif index_type == IndexType.SPARSE:
+            self.index = SparseIndex(index_file, data_file)
+        elif index_type == IndexType.BAG_OF_TOKEN:
+            self.index = BoTIndex(index_file, data_file)
+        else:
+            raise NotImplementedError(index_type)
+        return self.index
+
+
+def _passage_text(sample: Any) -> str:
+    """Extract text from an index data record (str or jsonl dict)."""
+    if isinstance(sample, str):
+        return sample
+    if isinstance(sample, dict):
+        return sample.get("text") or sample.get("contents") or ""
+    return str(sample)
