@@ -1,0 +1,163 @@
+"""Benchmark: bag-of-token index build throughput + TPU search QPS.
+
+Prints ONE JSON line:
+  {"metric": "bot_build_passages_per_s", "value": N, "unit": "passages/s",
+   "vs_baseline": R, ...extras}
+
+Baseline: the reference builds the wiki21m BoT index (21,015,324 passages)
+in 1,756 s excluding I/O = 11,968 passages/s on its recorded host
+(reference: test/svdr_wiki21m/build_binary_token_index.sh:10). The build
+is tokenizer-bound; search runs on the TPU over the ELL binary index.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# word list for synthetic wiki-like passages (Zipf-distributed sampling)
+_BASE_WORDS = (
+    "the of and to in is was for on that what who where when how many "
+    "much tea green like drink planet mars red surface water ice einstein "
+    "theory relativity physics space time light speed paper wrote famous "
+    "scientist passage query search index token sparse dense dog cat runs "
+    "fast slow big small city river history world war nation state music "
+    "film company president government people year century population "
+    "area north south east west language science mathematics computer "
+    "system network data model train learn deep neural machine "
+    "information retrieval document term frequency inverse weight score "
+    "rank vector matrix binary lexical vocabulary encode decode embed "
+    "university school book author novel story character island mountain "
+    "ocean forest animal species plant energy power engine wheel road "
+    "bridge building house room door window glass metal stone wood paper "
+    "color sound voice heart blood brain body hand head foot child family "
+    "mother father brother sister friend member group team player game "
+    "ball field goal point minute hour day week month season winter "
+    "summer spring autumn rain snow wind cloud storm sun moon star sky "
+).split()
+
+
+def make_corpus(n: int, words_per_passage: int = 80, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    vocab = np.array(_BASE_WORDS + [
+        f"{a}{b}" for a in _BASE_WORDS[:60] for b in ("ing", "ed", "s",
+                                                      "ly", "er")])
+    # zipf-ish sampling over the synthetic vocabulary
+    ranks = np.arange(1, len(vocab) + 1)
+    probs = 1.0 / ranks
+    probs /= probs.sum()
+    idx = rng.choice(len(vocab), size=(n, words_per_passage), p=probs)
+    flat = vocab[idx]
+    return [" ".join(row) for row in flat]
+
+
+def build_wordpiece_vocab():
+    """Synthetic 30k-entry BERT-like vocab: specials, unused (shift
+    region), chars, words, subwords."""
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3, "[MASK]": 4}
+    for i in range(994):
+        vocab[f"[unused{i}]"] = len(vocab)
+    for c in "abcdefghijklmnopqrstuvwxyz0123456789":
+        vocab[c] = len(vocab)
+        vocab[f"##{c}"] = len(vocab)
+    for w in _BASE_WORDS:
+        if w not in vocab:
+            vocab[w] = len(vocab)
+    for suf in ("ing", "ed", "s", "ly", "er", "est", "ion", "al", "ous"):
+        vocab[f"##{suf}"] = len(vocab)
+    # pad out to 30522 with synthetic word entries
+    i = 0
+    while len(vocab) < 30522:
+        w = f"word{i:05d}"
+        if w not in vocab:
+            vocab[w] = len(vocab)
+        i += 1
+    return vocab
+
+
+def get_bench_tokenizer():
+    vocab = build_wordpiece_vocab()
+    try:
+        from vsearch_tpu.tokenization.native import (
+            NativeWordPieceTokenizer)
+        return NativeWordPieceTokenizer(vocab), "native-c++"
+    except Exception:
+        from vsearch_tpu.tokenization.wordpiece import WordPieceTokenizer
+        return WordPieceTokenizer(vocab), "python"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-passages", type=int, default=200_000)
+    ap.add_argument("--num-queries", type=int, default=256)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--query-batch", type=int, default=32)
+    ap.add_argument("--topk", type=int, default=100)
+    args = ap.parse_args()
+
+    corpus = make_corpus(args.num_passages)
+    tokenizer, tok_kind = get_bench_tokenizer()
+
+    # ---- BoT build (tokenizer-bound, host) ------------------------------
+    from vsearch_tpu.index import BoTIndex
+    from vsearch_tpu.index.bot_build import build_bot_ell
+
+    t0 = time.perf_counter()
+    ell = build_bot_ell(tokenizer, corpus, max_len=128, shift=999,
+                        batch_size=args.batch_size)
+    build_s = time.perf_counter() - t0
+    build_rate = args.num_passages / build_s
+
+    # ---- TPU search QPS over the binary index ---------------------------
+    import jax
+    import jax.numpy as jnp
+
+    index = BoTIndex()
+    index.set_ell(ell)
+    v = ell.num_cols
+    rng = np.random.default_rng(1)
+    # sparse nonnegative query embeddings (topk=768 active dims)
+    q = np.zeros((args.num_queries, v), dtype=np.float32)
+    for i in range(args.num_queries):
+        active = rng.choice(v, size=768, replace=False)
+        q[i, active] = rng.random(768).astype(np.float32)
+
+    # warmup / compile
+    index.search(q[: args.query_batch], k=args.topk)
+    t0 = time.perf_counter()
+    nq = 0
+    for start in range(0, args.num_queries, args.query_batch):
+        chunk = q[start: start + args.query_batch]
+        if chunk.shape[0] < args.query_batch:
+            break
+        res = index.search(chunk, k=args.topk)
+        nq += chunk.shape[0]
+    jax.block_until_ready(res.scores) if hasattr(
+        res.scores, "block_until_ready") else None
+    search_s = time.perf_counter() - t0
+    qps = nq / search_s
+
+    baseline_rate = 21_015_324 / 1_756.0  # reference build excl. I/O
+    out = {
+        "metric": "bot_build_passages_per_s",
+        "value": round(build_rate, 1),
+        "unit": "passages/s",
+        "vs_baseline": round(build_rate / baseline_rate, 3),
+        "build_seconds": round(build_s, 2),
+        "num_passages": args.num_passages,
+        "tokenizer": tok_kind,
+        "search_qps": round(qps, 1),
+        "search_batch": args.query_batch,
+        "search_k": args.topk,
+        "index_rows": int(ell.shape[0]),
+        "index_nnz_pad": int(ell.nnz_pad),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,8 @@ def make_vocab(shift_pad: int = 0):
     vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3, "[MASK]": 4}
     for i in range(shift_pad):
         vocab[f"[unused{i}]"] = len(vocab)
-    for tok in _CHARS + [f"##{c}" for c in _CHARS] + _SUBWORDS:
+    punct = list(",.!?;:'\"()-")
+    for tok in _CHARS + [f"##{c}" for c in _CHARS] + _SUBWORDS + punct:
         if tok not in vocab:
             vocab[tok] = len(vocab)
     seen = set(vocab)

@@ -1,0 +1,127 @@
+"""Tokenizer tests: python WordPiece behavior + native C++ parity."""
+import numpy as np
+import pytest
+
+from tests.helpers import make_tokenizer, make_vocab
+from vsearch_tpu.tokenization.wordpiece import WordPieceTokenizer
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return make_tokenizer()
+
+
+def test_basic_wordpiece(tok):
+    toks = tok.tokenize("green tea")
+    assert toks == ["green", "tea"]
+
+
+def test_subword_split(tok):
+    # 'runs' is in vocab whole; an unknown word splits into pieces
+    assert tok.tokenize("runs") == ["runs"]
+    pieces = tok.tokenize("teaing")  # tea + ##ing
+    assert pieces == ["tea", "##ing"]
+
+
+def test_unknown_token(tok):
+    assert tok.tokenize("ZZZZ@@##!!") != []  # punct split, chars known
+    v = WordPieceTokenizer({"[PAD]": 0, "[UNK]": 1, "[CLS]": 2,
+                            "[SEP]": 3, "a": 4})
+    assert v.tokenize("xyz") == ["[UNK]"]
+
+
+def test_punctuation_and_case(tok):
+    toks = tok.tokenize("Green, TEA!")
+    assert toks == ["green", ",", "tea", "!"]
+
+
+def test_encode_specials_and_truncation(tok):
+    ids = tok.encode("green tea", max_length=16)
+    assert ids[0] == tok.cls_id and ids[-1] == tok.sep_id
+    short = tok.encode("the " * 50, max_length=8)
+    assert len(short) == 8
+    assert short[-1] == tok.sep_id
+
+
+def test_decode_roundtrip(tok):
+    ids = tok.encode("green tea is a drink")
+    assert tok.decode(ids) == "green tea is a drink"
+
+
+def test_accent_folding(tok):
+    assert tok.tokenize("Grëen") == ["green"]
+
+
+@pytest.fixture(scope="module")
+def native_tok():
+    pytest.importorskip("ctypes")
+    try:
+        from vsearch_tpu.tokenization.native import (
+            NativeWordPieceTokenizer)
+        return NativeWordPieceTokenizer(make_vocab())
+    except Exception as exc:  # g++ missing etc.
+        pytest.skip(f"native tokenizer unavailable: {exc}")
+
+
+TEXTS = [
+    "Green tea is a drink!",
+    "the red PLANET mars, has ice-water on the surface...",
+    "Einstein wrote the famous Theory of Relativity",
+    "Grëen tèa",
+    "runs running teaing slowly",
+    "",
+    "a",
+    "word " * 300,  # long truncation
+    "中文 characters 漢字 mixed",
+    "punct@@@only!!! ???",
+]
+
+
+def test_native_matches_python(native_tok):
+    py = make_tokenizer()
+    for text in TEXTS:
+        expect = py.encode(text, max_length=64)
+        got = native_tok.encode(text, max_length=64)
+        assert got == expect, f"mismatch on {text!r}: {got} != {expect}"
+
+
+def test_native_batch_padded(native_tok):
+    ids, lens = native_tok.encode_batch_padded(TEXTS[:4], max_length=32)
+    assert ids.shape == (4, 32)
+    py = make_tokenizer()
+    for i, t in enumerate(TEXTS[:4]):
+        expect = py.encode(t, max_length=32)
+        assert ids[i, : lens[i]].tolist() == expect
+        assert (ids[i, lens[i]:] == 0).all()
+
+
+def test_native_bot_batch(native_tok):
+    py = make_tokenizer()
+    shift, cap, nnz_pad = 5, 64, 128
+    cols, nnz = native_tok.encode_bot_batch(TEXTS[:5], max_len=64,
+                                            shift=shift, cap=cap,
+                                            nnz_pad=nnz_pad)
+    for i, t in enumerate(TEXTS[:5]):
+        ids = py.encode(t, max_length=64)
+        seen = {}
+        for tid in ids:
+            if tid >= shift and tid not in seen:
+                seen[tid] = None
+                if len(seen) >= cap:
+                    break
+        expect = [tid - shift for tid in seen]
+        assert cols[i, : nnz[i]].tolist() == expect
+
+
+def test_native_bot_build_integration(native_tok):
+    from vsearch_tpu.index.bot_build import build_bot_ell
+
+    texts = ["green tea drink", "mars planet red surface"] * 3
+    ell = build_bot_ell(native_tok, texts, max_len=32, shift=5,
+                        num_workers=1)
+    py_ell = build_bot_ell(make_tokenizer(), texts, max_len=32, shift=5,
+                           num_workers=1)
+    np.testing.assert_array_equal(np.asarray(ell.nnz),
+                                  np.asarray(py_ell.nnz))
+    np.testing.assert_array_equal(np.asarray(ell.cols),
+                                  np.asarray(py_ell.cols))

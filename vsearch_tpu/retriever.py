@@ -145,36 +145,16 @@ class Retriever(BiEncoder):
                        max_len: int = 128, max_token: Optional[int] = None,
                        num_shift: Optional[int] = None) -> ELLMatrix:
         """Tokenizer-only bag-of-token vectors, built directly into ELL
-        (no dense [B, V] staging buffer, reference retriever.py:208-253).
-        Embarrassingly parallel and neural-network-free."""
-        import jax.numpy as jnp
+        (no dense [B, V] staging buffer, reference retriever.py:208-253)."""
+        from .index.bot_build import build_bot_ell
 
         tokenizer = self.encoder_p.tokenizer
-        vocab_size = tokenizer.vocab_size
         shift = (num_shift if num_shift is not None
                  else getattr(self.encoder_p.config, "shift_vocab_num", 0))
-        cap = max_token or max_len
-        nnz_pad = max(((cap + 127) // 128) * 128, 128)
-        n = len(texts)
-        cols = np.zeros((n, nnz_pad), dtype=np.int32)
-        nnz = np.zeros(n, dtype=np.int32)
-        for start in range(0, n, batch_size):
-            chunk = texts[start: start + batch_size]
-            id_lists = tokenizer.encode_batch(chunk, max_length=max_len)
-            for i, ids in enumerate(id_lists):
-                # first-n-unique ids >= shift, shifted into index space
-                seen: Dict[int, None] = {}
-                for t in ids:
-                    if t >= shift and t not in seen:
-                        seen[t] = None
-                        if len(seen) >= cap:
-                            break
-                row = np.fromiter(seen.keys(), dtype=np.int32,
-                                  count=len(seen)) - shift
-                cols[start + i, : row.size] = row
-                nnz[start + i] = row.size
-        return ELLMatrix(cols=jnp.asarray(cols), nnz=jnp.asarray(nnz),
-                         vals=None, num_cols=vocab_size - shift)
+        return build_bot_ell(tokenizer, list(texts), max_len=max_len,
+                             shift=shift, batch_size=batch_size,
+                             max_token=max_token,
+                             vocab_size=tokenizer.vocab_size)
 
     def _build_embedding_vectors(self, texts: Sequence[str],
                                  batch_size: int = 32,

@@ -1,0 +1,423 @@
+// Fast BERT WordPiece tokenizer (C runtime for the tokenizer-bound
+// bag-of-token index build).
+//
+// The reference's BoT build is a python tokenizer loop over 21M passages
+// (1,756 s recorded — reference test/svdr_wiki21m/
+// build_binary_token_index.sh:10). This C++ core implements the same
+// pipeline as vsearch_tpu.tokenization.wordpiece (clean -> basic
+// tokenize with lowercase/accent-fold/punct-split/CJK isolation ->
+// greedy longest-match WordPiece) with a flat hash table, zero
+// allocations per token in the hot loop, and an optional thread pool.
+// Exposed via a C ABI for ctypes — no pybind11 dependency.
+//
+// A fused `wp_encode_bot_batch` emits first-N-unique shifted token ids
+// directly (the ELL bag-of-token row), so index building never
+// materializes per-text python lists at all.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <string>
+#include <string_view>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Vocab {
+  std::unordered_map<std::string, int32_t> map;
+  // zero-copy lookup tables: views into `storage`; continuation pieces
+  // ("##xx") are stored stripped so wordpiece matching never builds a
+  // prefixed candidate string
+  std::vector<std::string> storage;
+  std::unordered_map<std::string_view, int32_t> head;
+  std::unordered_map<std::string_view, int32_t> cont;
+  int32_t unk = 1, cls = 2, sep = 3, pad = 0;
+  int32_t max_word_chars = 100;
+
+  void finalize() {
+    storage.reserve(map.size());
+    for (const auto& [tok, id] : map) {
+      if (tok.size() > 2 && tok[0] == '#' && tok[1] == '#') {
+        storage.push_back(tok.substr(2));
+        cont.emplace(std::string_view(storage.back()), id);
+      } else {
+        storage.push_back(tok);
+        head.emplace(std::string_view(storage.back()), id);
+      }
+    }
+  }
+};
+
+// ---- unicode helpers (UTF-8 aware, minimal tables) ----------------------
+
+inline bool is_ascii_space(uint32_t c) {
+  return c == ' ' || c == '\t' || c == '\n' || c == '\r';
+}
+
+inline bool is_unicode_space(uint32_t c) {
+  return is_ascii_space(c) || c == 0x00A0 || (c >= 0x2000 && c <= 0x200A) ||
+         c == 0x202F || c == 0x205F || c == 0x3000 || c == 0x1680;
+}
+
+inline bool is_control(uint32_t c) {
+  if (c == '\t' || c == '\n' || c == '\r') return false;
+  return c < 0x20 || c == 0x7F || (c >= 0x80 && c <= 0x9F) || c == 0x200B ||
+         c == 0xFEFF || c == 0xFFFD || c == 0;
+}
+
+inline bool is_ascii_punct(uint32_t c) {
+  return (c >= 33 && c <= 47) || (c >= 58 && c <= 64) ||
+         (c >= 91 && c <= 96) || (c >= 123 && c <= 126);
+}
+
+inline bool is_punct(uint32_t c) {
+  if (c < 0x80) return is_ascii_punct(c);
+  // common unicode punctuation blocks
+  return (c >= 0x2010 && c <= 0x2027) || (c >= 0x2030 && c <= 0x205E) ||
+         (c >= 0x3001 && c <= 0x3030) || (c >= 0xFF01 && c <= 0xFF0F) ||
+         (c >= 0xFF1A && c <= 0xFF20) || (c >= 0xFF3B && c <= 0xFF40) ||
+         (c >= 0xFF5B && c <= 0xFF65) || c == 0x00B7 || c == 0x00A1 ||
+         c == 0x00BF || c == 0x00AB || c == 0x00BB;
+}
+
+inline bool is_cjk(uint32_t c) {
+  return (c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3400 && c <= 0x4DBF) ||
+         (c >= 0x20000 && c <= 0x2A6DF) || (c >= 0x2A700 && c <= 0x2B73F) ||
+         (c >= 0x2B740 && c <= 0x2B81F) || (c >= 0x2B820 && c <= 0x2CEAF) ||
+         (c >= 0xF900 && c <= 0xFAFF) || (c >= 0x2F800 && c <= 0x2FA1F);
+}
+
+// accent folding for Latin-1 Supplement + Latin Extended-A (NFD strip of
+// combining marks for precomposed characters; lowercase output)
+uint32_t fold_latin(uint32_t c) {
+  if (c >= 0x00C0 && c <= 0x00C6) return (c == 0x00C6) ? 0x00E6 : 'a';
+  if (c == 0x00C7) return 'c';
+  if (c >= 0x00C8 && c <= 0x00CB) return 'e';
+  if (c >= 0x00CC && c <= 0x00CF) return 'i';
+  if (c == 0x00D1) return 'n';
+  if ((c >= 0x00D2 && c <= 0x00D6) || c == 0x00D8) return 'o';
+  if (c >= 0x00D9 && c <= 0x00DC) return 'u';
+  if (c == 0x00DD) return 'y';
+  if (c >= 0x00E0 && c <= 0x00E5) return 'a';
+  if (c == 0x00E7) return 'c';
+  if (c >= 0x00E8 && c <= 0x00EB) return 'e';
+  if (c >= 0x00EC && c <= 0x00EF) return 'i';
+  if (c == 0x00F1) return 'n';
+  if ((c >= 0x00F2 && c <= 0x00F6) || c == 0x00F8) return 'o';
+  if (c >= 0x00F9 && c <= 0x00FC) return 'u';
+  if (c == 0x00FD || c == 0x00FF) return 'y';
+  if (c >= 0x0100 && c <= 0x0105) return 'a';
+  if (c >= 0x0106 && c <= 0x010D) return 'c';
+  if (c >= 0x010E && c <= 0x0111) return 'd';
+  if (c >= 0x0112 && c <= 0x011B) return 'e';
+  if (c >= 0x011C && c <= 0x0123) return 'g';
+  if (c >= 0x0124 && c <= 0x0127) return 'h';
+  if (c >= 0x0128 && c <= 0x0131) return 'i';
+  if (c >= 0x0134 && c <= 0x0135) return 'j';
+  if (c >= 0x0136 && c <= 0x0138) return 'k';
+  if (c >= 0x0139 && c <= 0x0142) return 'l';
+  if (c >= 0x0143 && c <= 0x0148) return 'n';
+  if (c >= 0x014C && c <= 0x0153) return 'o';
+  if (c >= 0x0154 && c <= 0x0159) return 'r';
+  if (c >= 0x015A && c <= 0x0161) return 's';
+  if (c >= 0x0162 && c <= 0x0167) return 't';
+  if (c >= 0x0168 && c <= 0x0173) return 'u';
+  if (c >= 0x0174 && c <= 0x0175) return 'w';
+  if (c >= 0x0176 && c <= 0x0178) return 'y';
+  if (c >= 0x0179 && c <= 0x017E) return 'z';
+  return c;
+}
+
+// decode one UTF-8 codepoint; advances i
+inline uint32_t next_cp(const char* s, size_t len, size_t& i) {
+  uint8_t b = static_cast<uint8_t>(s[i]);
+  if (b < 0x80) { i += 1; return b; }
+  if ((b >> 5) == 0x6 && i + 1 < len) {
+    uint32_t c = ((b & 0x1F) << 6) | (static_cast<uint8_t>(s[i + 1]) & 0x3F);
+    i += 2; return c;
+  }
+  if ((b >> 4) == 0xE && i + 2 < len) {
+    uint32_t c = ((b & 0x0F) << 12) |
+                 ((static_cast<uint8_t>(s[i + 1]) & 0x3F) << 6) |
+                 (static_cast<uint8_t>(s[i + 2]) & 0x3F);
+    i += 3; return c;
+  }
+  if ((b >> 3) == 0x1E && i + 3 < len) {
+    uint32_t c = ((b & 0x07) << 18) |
+                 ((static_cast<uint8_t>(s[i + 1]) & 0x3F) << 12) |
+                 ((static_cast<uint8_t>(s[i + 2]) & 0x3F) << 6) |
+                 (static_cast<uint8_t>(s[i + 3]) & 0x3F);
+    i += 4; return c;
+  }
+  i += 1;
+  return 0xFFFD;
+}
+
+inline void append_cp(std::string& out, uint32_t c) {
+  if (c < 0x80) {
+    out.push_back(static_cast<char>(c));
+  } else if (c < 0x800) {
+    out.push_back(static_cast<char>(0xC0 | (c >> 6)));
+    out.push_back(static_cast<char>(0x80 | (c & 0x3F)));
+  } else if (c < 0x10000) {
+    out.push_back(static_cast<char>(0xE0 | (c >> 12)));
+    out.push_back(static_cast<char>(0x80 | ((c >> 6) & 0x3F)));
+    out.push_back(static_cast<char>(0x80 | (c & 0x3F)));
+  } else {
+    out.push_back(static_cast<char>(0xF0 | (c >> 18)));
+    out.push_back(static_cast<char>(0x80 | ((c >> 12) & 0x3F)));
+    out.push_back(static_cast<char>(0x80 | ((c >> 6) & 0x3F)));
+    out.push_back(static_cast<char>(0x80 | (c & 0x3F)));
+  }
+}
+
+inline bool is_combining_mark(uint32_t c) {
+  return (c >= 0x0300 && c <= 0x036F) || (c >= 0x1AB0 && c <= 0x1AFF) ||
+         (c >= 0x20D0 && c <= 0x20FF) || (c >= 0xFE20 && c <= 0xFE2F);
+}
+
+// Tokenize one text into words (basic tokenizer: lowercase, accent-fold,
+// punct/CJK isolation). The normalized bytes land in `buf` (caller-owned,
+// reused across texts); `words` receives (offset, length) pairs into it.
+void basic_tokenize(const char* s, size_t len, std::string& buf,
+                    std::vector<std::pair<uint32_t, uint32_t>>& words) {
+  buf.clear();
+  words.clear();
+  uint32_t word_start = 0;
+  auto flush = [&]() {
+    if (buf.size() > word_start)
+      words.emplace_back(word_start,
+                         static_cast<uint32_t>(buf.size()) - word_start);
+    word_start = static_cast<uint32_t>(buf.size());
+  };
+  size_t i = 0;
+  while (i < len) {
+    uint32_t c = next_cp(s, len, i);
+    if (is_control(c)) continue;
+    if (is_unicode_space(c)) { flush(); continue; }
+    if (is_cjk(c)) {
+      flush();
+      append_cp(buf, c);
+      flush();
+      continue;
+    }
+    if (c >= 'A' && c <= 'Z') c += 32;
+    else if (c >= 0x80) c = fold_latin(c);
+    if (is_combining_mark(c)) continue;
+    if (is_punct(c)) {
+      flush();
+      append_cp(buf, c);
+      flush();
+      continue;
+    }
+    append_cp(buf, c);
+  }
+  flush();
+}
+
+// count UTF-8 codepoints
+inline size_t cp_count(std::string_view w) {
+  size_t n = 0;
+  for (char ch : w)
+    if ((static_cast<uint8_t>(ch) & 0xC0) != 0x80) n++;
+  return n;
+}
+
+// greedy longest-match-first wordpiece; appends ids. Zero-copy: candidate
+// substrings are string_views matched against the head/cont tables.
+void wordpiece(const Vocab& v, std::string_view word,
+               std::vector<int32_t>& ids) {
+  if (cp_count(word) > static_cast<size_t>(v.max_word_chars)) {
+    ids.push_back(v.unk);
+    return;
+  }
+  size_t start = 0, n = word.size();
+  size_t before = ids.size();
+  while (start < n) {
+    size_t end = n;
+    int32_t cur = -1;
+    size_t cur_end = 0;
+    const auto& table = (start == 0) ? v.head : v.cont;
+    while (start < end) {
+      auto it = table.find(word.substr(start, end - start));
+      if (it != table.end()) {
+        cur = it->second;
+        cur_end = end;
+        break;
+      }
+      // step back one full codepoint
+      do { end--; } while (end > start &&
+                           (static_cast<uint8_t>(word[end]) & 0xC0) == 0x80);
+    }
+    if (cur < 0) {
+      ids.resize(before);
+      ids.push_back(v.unk);
+      return;
+    }
+    ids.push_back(cur);
+    start = cur_end;
+  }
+}
+
+struct Scratch {
+  std::string norm;
+  std::vector<std::pair<uint32_t, uint32_t>> words;
+  std::vector<int32_t> ids;
+  std::vector<int32_t> row;
+  std::vector<uint64_t> seen_bits;
+};
+
+void encode_one(const Vocab& v, const char* text, size_t len,
+                int32_t max_len, bool add_special, int32_t* out,
+                int32_t* out_len, Scratch& sc) {
+  basic_tokenize(text, len, sc.norm, sc.words);
+  auto& ids = sc.ids;
+  ids.clear();
+  if (add_special) ids.push_back(v.cls);
+  int32_t body_cap = add_special ? max_len - 2 : max_len;
+  for (const auto& [off, wlen] : sc.words) {
+    if (static_cast<int32_t>(ids.size()) - (add_special ? 1 : 0) >=
+        body_cap)
+      break;
+    wordpiece(v, std::string_view(sc.norm).substr(off, wlen), ids);
+  }
+  int32_t limit = add_special ? max_len - 1 : max_len;
+  if (static_cast<int32_t>(ids.size()) > limit) ids.resize(limit);
+  if (add_special) ids.push_back(v.sep);
+  int32_t m = static_cast<int32_t>(ids.size());
+  std::memcpy(out, ids.data(), m * sizeof(int32_t));
+  for (int32_t k = m; k < max_len; k++) out[k] = v.pad;
+  *out_len = m;
+}
+
+void run_parallel(int64_t n, int nthreads,
+                  const std::function<void(int64_t, int64_t)>& fn) {
+  if (nthreads <= 1 || n < 256) {
+    fn(0, n);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t chunk = (n + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; t++) {
+    int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
+    if (lo >= hi) break;
+    threads.emplace_back([&, lo, hi] { fn(lo, hi); });
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// vocab_blob: newline-joined tokens in id order
+void* wp_create(const char* vocab_blob, int64_t blob_len) {
+  auto* v = new Vocab();
+  int32_t id = 0;
+  const char* p = vocab_blob;
+  const char* endp = vocab_blob + blob_len;
+  while (p < endp) {
+    const char* nl = static_cast<const char*>(
+        memchr(p, '\n', endp - p));
+    size_t len = nl ? static_cast<size_t>(nl - p)
+                    : static_cast<size_t>(endp - p);
+    if (len > 0) {
+      std::string tok(p, len);
+      v->map.emplace(std::move(tok), id);
+    }
+    id++;
+    p = nl ? nl + 1 : endp;
+  }
+  auto find = [&](const char* t, int32_t dflt) {
+    auto it = v->map.find(t);
+    return it == v->map.end() ? dflt : it->second;
+  };
+  v->pad = find("[PAD]", 0);
+  v->unk = find("[UNK]", 1);
+  v->cls = find("[CLS]", 2);
+  v->sep = find("[SEP]", 3);
+  v->finalize();
+  return v;
+}
+
+void wp_free(void* handle) { delete static_cast<Vocab*>(handle); }
+
+int32_t wp_vocab_size(void* handle) {
+  return static_cast<int32_t>(static_cast<Vocab*>(handle)->map.size());
+}
+
+// texts: concatenated bytes; offsets: [n+1] byte offsets into texts.
+// out_ids: [n, max_len] int32 (caller-allocated); out_lens: [n] int32.
+void wp_encode_batch(void* handle, const char* texts,
+                     const int64_t* offsets, int64_t n, int32_t max_len,
+                     int32_t add_special, int32_t* out_ids,
+                     int32_t* out_lens, int32_t nthreads) {
+  const Vocab& v = *static_cast<Vocab*>(handle);
+  run_parallel(n, nthreads, [&](int64_t lo, int64_t hi) {
+    Scratch sc;
+    for (int64_t i = lo; i < hi; i++) {
+      encode_one(v, texts + offsets[i],
+                 static_cast<size_t>(offsets[i + 1] - offsets[i]), max_len,
+                 add_special != 0, out_ids + i * max_len, out_lens + i,
+                 sc);
+    }
+  });
+}
+
+// Fused bag-of-token row build: first-`cap` unique ids >= shift, emitted
+// shifted (id - shift) into out_cols [n, nnz_pad]; counts into out_nnz.
+void wp_encode_bot_batch(void* handle, const char* texts,
+                         const int64_t* offsets, int64_t n,
+                         int32_t max_len, int32_t shift, int32_t cap,
+                         int32_t nnz_pad, int32_t* out_cols,
+                         int32_t* out_nnz, int32_t nthreads) {
+  const Vocab& v = *static_cast<Vocab*>(handle);
+  run_parallel(n, nthreads, [&](int64_t lo, int64_t hi) {
+    Scratch sc;
+    auto& ids = sc.ids;
+    auto& row = sc.row;
+    auto& seen_bits = sc.seen_bits;
+    for (int64_t i = lo; i < hi; i++) {
+      ids.clear();
+      row.clear();
+      // tokenize (with CLS/SEP like the reference tokenizer call,
+      // reference retriever.py:238 — specials fall below shift anyway)
+      basic_tokenize(texts + offsets[i],
+                     static_cast<size_t>(offsets[i + 1] - offsets[i]),
+                     sc.norm, sc.words);
+      ids.push_back(v.cls);
+      for (const auto& [off, wlen] : sc.words) {
+        if (static_cast<int32_t>(ids.size()) >= max_len - 1) break;
+        wordpiece(v, std::string_view(sc.norm).substr(off, wlen), ids);
+      }
+      if (static_cast<int32_t>(ids.size()) > max_len - 1)
+        ids.resize(max_len - 1);
+      ids.push_back(v.sep);
+      // first-N-unique >= shift (small bitset over the vocab)
+      size_t vs = v.map.size();
+      if (seen_bits.size() < (vs + 63) / 64)
+        seen_bits.assign((vs + 63) / 64, 0);
+      else
+        std::fill(seen_bits.begin(), seen_bits.end(), 0);
+      for (int32_t t : ids) {
+        if (t < shift) continue;
+        uint64_t& w64 = seen_bits[static_cast<size_t>(t) >> 6];
+        uint64_t bit = 1ULL << (t & 63);
+        if (w64 & bit) continue;
+        w64 |= bit;
+        row.push_back(t - shift);
+        if (static_cast<int32_t>(row.size()) >= cap) break;
+      }
+      int32_t m = static_cast<int32_t>(row.size());
+      int32_t* dst = out_cols + i * nnz_pad;
+      std::memcpy(dst, row.data(), m * sizeof(int32_t));
+      for (int32_t k = m; k < nnz_pad; k++) dst[k] = 0;
+      out_nnz[i] = m;
+    }
+  });
+}
+
+}  // extern "C"

@@ -1,0 +1,168 @@
+"""ctypes bindings for the C++ WordPiece tokenizer.
+
+Builds ``csrc/wordpiece.cc`` with g++ on first use (cached as a shared
+library next to the source). Exposes the same surface as the pure-Python
+``WordPieceTokenizer`` plus a fused ``encode_bot_batch`` that emits ELL
+bag-of-token rows directly — the hot path of the binary index build.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "csrc", "wordpiece.cc")
+_LIB = os.path.join(os.path.dirname(__file__), "csrc", "libwordpiece.so")
+_BUILD_LOCK = threading.Lock()
+
+
+def _build_library() -> str:
+    with _BUILD_LOCK:
+        if os.path.exists(_LIB) and os.path.getmtime(
+                _LIB) >= os.path.getmtime(_SRC):
+            return _LIB
+        cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+               "-fPIC", "-pthread", _SRC, "-o", _LIB + ".tmp"]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(_LIB + ".tmp", _LIB)
+    return _LIB
+
+
+_lib_handle = None
+
+
+def _lib():
+    global _lib_handle
+    if _lib_handle is None:
+        lib = ctypes.CDLL(_build_library())
+        lib.wp_create.restype = ctypes.c_void_p
+        lib.wp_create.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.wp_free.argtypes = [ctypes.c_void_p]
+        lib.wp_vocab_size.restype = ctypes.c_int32
+        lib.wp_vocab_size.argtypes = [ctypes.c_void_p]
+        lib.wp_encode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32), ctypes.c_int32]
+        lib.wp_encode_bot_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32), ctypes.c_int32]
+        _lib_handle = lib
+    return _lib_handle
+
+
+def _pack_texts(texts: Sequence[str]) -> Tuple[bytes, np.ndarray]:
+    encoded = [t.encode("utf-8") for t in texts]
+    offsets = np.zeros(len(encoded) + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in encoded], out=offsets[1:])
+    return b"".join(encoded), offsets
+
+
+class NativeWordPieceTokenizer:
+    """Drop-in WordPiece tokenizer backed by the C++ core."""
+
+    def __init__(self, vocab: Dict[str, int], nthreads: Optional[int]
+                 = None):
+        self.vocab = vocab
+        self.ids_to_tokens = {i: t for t, i in vocab.items()}
+        self.nthreads = nthreads or min(os.cpu_count() or 1, 16)
+        ordered = sorted(vocab.items(), key=lambda kv: kv[1])
+        blob = "\n".join(tok for tok, _ in ordered).encode("utf-8")
+        self._handle = ctypes.c_void_p(_lib().wp_create(blob, len(blob)))
+        self.pad_id = vocab.get("[PAD]", 0)
+        self.unk_id = vocab.get("[UNK]", 1)
+        self.cls_id = vocab.get("[CLS]", 2)
+        self.sep_id = vocab.get("[SEP]", 3)
+
+    @classmethod
+    def from_vocab_file(cls, path: str, **kw) -> "NativeWordPieceTokenizer":
+        vocab = {}
+        with open(path, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                tok = line.rstrip("\n")
+                if tok:
+                    vocab[tok] = i
+        return cls(vocab, **kw)
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                _lib().wp_free(self._handle)
+        except Exception:
+            pass
+
+    def __getstate__(self):
+        return {"vocab": self.vocab, "nthreads": self.nthreads}
+
+    def __setstate__(self, state):
+        self.__init__(state["vocab"], nthreads=state["nthreads"])
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    # -- encoding ----------------------------------------------------------
+    def encode_batch_padded(self, texts: Sequence[str],
+                            max_length: int = 256,
+                            add_special_tokens: bool = True
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (ids [N, max_length] int32 padded, lens [N])."""
+        blob, offsets = _pack_texts(texts)
+        n = len(texts)
+        out = np.zeros((n, max_length), dtype=np.int32)
+        lens = np.zeros(n, dtype=np.int32)
+        _lib().wp_encode_batch(self._handle, blob, offsets, n, max_length,
+                               1 if add_special_tokens else 0, out, lens,
+                               self.nthreads)
+        return out, lens
+
+    def encode_batch(self, texts: Sequence[str], max_length: int = 256,
+                     add_special_tokens: bool = True) -> List[List[int]]:
+        out, lens = self.encode_batch_padded(texts, max_length,
+                                             add_special_tokens)
+        return [out[i, : lens[i]].tolist() for i in range(len(texts))]
+
+    def encode(self, text: str, max_length: int = 256,
+               add_special_tokens: bool = True) -> List[int]:
+        return self.encode_batch([text], max_length, add_special_tokens)[0]
+
+    def encode_bot_batch(self, texts: Sequence[str], max_len: int,
+                         shift: int, cap: int, nnz_pad: int
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+        """Fused BoT rows: (cols [N, nnz_pad] int32 shifted, nnz [N])."""
+        blob, offsets = _pack_texts(texts)
+        n = len(texts)
+        cols = np.zeros((n, nnz_pad), dtype=np.int32)
+        nnz = np.zeros(n, dtype=np.int32)
+        _lib().wp_encode_bot_batch(self._handle, blob, offsets, n, max_len,
+                                   shift, cap, nnz_pad, cols, nnz,
+                                   self.nthreads)
+        return cols, nnz
+
+    # -- misc (parity with python tokenizer) -------------------------------
+    def tokenize(self, text: str) -> List[str]:
+        ids = self.encode(text, max_length=1 << 30,
+                          add_special_tokens=False)
+        return [self.ids_to_tokens.get(i, "[UNK]") for i in ids]
+
+    def convert_ids_to_tokens(self, ids: Iterable[int]) -> List[str]:
+        return [self.ids_to_tokens.get(int(i), "[UNK]") for i in ids]
+
+    def convert_tokens_to_ids(self, tokens: Iterable[str]) -> List[int]:
+        return [self.vocab.get(t, self.unk_id) for t in tokens]
+
+    def decode(self, ids: Iterable[int], skip_special: bool = True) -> str:
+        special = {self.cls_id, self.sep_id, self.pad_id}
+        toks = [self.ids_to_tokens.get(int(i), "[UNK]")
+                for i in ids if not (skip_special and int(i) in special)]
+        return " ".join(toks).replace(" ##", "")
