@@ -1,0 +1,92 @@
+"""Tests for the two-stage sketch search (ops/sketch.py)."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from vsearch_tpu.index import BoTIndex, SparseIndex
+from vsearch_tpu.ops.ell import ELLMatrix
+from vsearch_tpu.ops.sketch import (exact_rerank, exact_search,
+                                    make_projection, project_queries,
+                                    sketch_ell, two_stage_search)
+
+
+@pytest.fixture(scope="module")
+def ell_and_q(rng):
+    mat = sp.random(2000, 300, density=0.05, format="csr",
+                    dtype=np.float32,
+                    random_state=np.random.RandomState(7))
+    mat.data[:] = np.abs(mat.data)
+    ell = ELLMatrix.from_scipy_csr(mat)
+    q = np.abs(rng.normal(size=(4, 300))).astype(np.float32)
+    return ell, mat, q
+
+
+def test_projection_unbiased(ell_and_q):
+    ell, mat, q = ell_and_q
+    exact = q @ mat.toarray().T
+
+    def corr(d):
+        R = make_projection(300, d=d, seed=1)
+        s = np.asarray(sketch_ell(ell, R, dtype=jnp.float32))
+        qs = np.asarray(project_queries(jnp.asarray(q), R))
+        approx = qs @ s.T
+        return np.corrcoef(approx.ravel(), exact.ravel())[0, 1]
+
+    c_small, c_large = corr(64), corr(512)
+    assert c_large > 0.6
+    # error shrinks with d
+    assert c_large > c_small
+
+
+def test_exact_rerank_matches_bruteforce(ell_and_q, rng):
+    ell, mat, q = ell_and_q
+    cand = np.stack([rng.permutation(2000)[:50] for _ in range(4)]
+                    ).astype(np.int32)
+    ids, scores = exact_rerank(jnp.asarray(q), ell, jnp.asarray(cand),
+                               k=5)
+    dense = mat.toarray()
+    for b in range(4):
+        cand_scores = q[b] @ dense[cand[b]].T
+        order = np.argsort(-cand_scores)[:5]
+        np.testing.assert_array_equal(np.asarray(ids)[b], cand[b][order])
+        np.testing.assert_allclose(np.asarray(scores)[b],
+                                   cand_scores[order], rtol=1e-4,
+                                   atol=1e-4)
+
+
+def test_two_stage_recovers_topk(ell_and_q):
+    ell, mat, q = ell_and_q
+    R = make_projection(300, d=256, seed=42)
+    s = sketch_ell(ell, R)
+    ids, scores = two_stage_search(jnp.asarray(q), ell, s, R, k=10,
+                                   num_candidates=500)
+    exact = q @ mat.toarray().T
+    hits = 0
+    for b in range(4):
+        true_top = set(np.argsort(-exact[b])[:10].tolist())
+        hits += len(true_top & set(np.asarray(ids)[b].tolist()))
+    assert hits >= 35  # >= 87% recall with C=25% of corpus
+
+
+def test_exact_search_chunked(ell_and_q):
+    ell, mat, q = ell_and_q
+    ids, scores = exact_search(jnp.asarray(q), ell, k=7, chunk_rows=512)
+    exact = q @ mat.toarray().T
+    for b in range(4):
+        np.testing.assert_array_equal(np.asarray(ids)[b],
+                                      np.argsort(-exact[b])[:7])
+
+
+def test_sparse_index_sketch_mode(ell_and_q):
+    ell, mat, q = ell_and_q
+    idx = SparseIndex(search_mode="sketch")
+    idx.set_ell(ell)
+    res = idx.search(q, k=5, num_candidates=800)
+    idx2 = SparseIndex(search_mode="exact")
+    idx2.set_ell(ell)
+    res2 = idx2.search(q, k=5)
+    # sketch+rerank with wide candidates matches exact top-1
+    assert (res.ids[:, 0] == res2.ids[:, 0]).mean() >= 0.75

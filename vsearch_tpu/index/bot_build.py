@@ -21,15 +21,16 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _encode_chunk(tokenizer, texts: Sequence[str], max_len: int,
-                  shift: int, cap: int, nnz_pad: int
+                  shift: int, cap: int, nnz_pad: int, sentinel: int
                   ) -> Tuple[np.ndarray, np.ndarray]:
     if hasattr(tokenizer, "encode_bot_batch"):
         # fused C++ path: tokenize + first-N-unique + shift in one call
         return tokenizer.encode_bot_batch(texts, max_len=max_len,
                                           shift=shift, cap=cap,
-                                          nnz_pad=nnz_pad)
+                                          nnz_pad=nnz_pad,
+                                          pad_value=sentinel)
     n = len(texts)
-    cols = np.zeros((n, nnz_pad), dtype=np.int32)
+    cols = np.full((n, nnz_pad), sentinel, dtype=np.int32)
     nnz = np.zeros(n, dtype=np.int32)
     id_lists = tokenizer.encode_batch(texts, max_length=max_len)
     for i, ids in enumerate(id_lists):
@@ -46,9 +47,10 @@ def _encode_chunk(tokenizer, texts: Sequence[str], max_len: int,
 
 
 def _worker(args):
-    (vocab_payload, texts, max_len, shift, cap, nnz_pad) = args
+    (vocab_payload, texts, max_len, shift, cap, nnz_pad, sentinel) = args
     tokenizer = _rebuild_tokenizer(vocab_payload)
-    return _encode_chunk(tokenizer, texts, max_len, shift, cap, nnz_pad)
+    return _encode_chunk(tokenizer, texts, max_len, shift, cap, nnz_pad,
+                         sentinel)
 
 
 def _tokenizer_payload(tokenizer):
@@ -89,24 +91,26 @@ def build_bot_ell(tokenizer, texts: Sequence[str], max_len: int = 128,
     cap = max_token or max_len
     nnz_pad = max(_round_up(cap, 128), 128)
     n = len(texts)
+    sentinel = vocab_size - shift  # mask-free scoring padding
 
     if num_workers is None:
         num_workers = min(os.cpu_count() or 1, 8)
 
     if num_workers <= 1 or n < 4 * batch_size:
         cols, nnz = _encode_chunk(tokenizer, texts, max_len, shift, cap,
-                                  nnz_pad)
+                                  nnz_pad, sentinel)
     else:
         from multiprocessing import get_context
 
         payload = _tokenizer_payload(tokenizer)
         chunk = _round_up(-(-n // num_workers), batch_size)
         jobs = [(payload, texts[s: s + chunk], max_len, shift, cap,
-                 nnz_pad) for s in range(0, n, chunk)]
+                 nnz_pad, sentinel) for s in range(0, n, chunk)]
         with get_context("fork").Pool(num_workers) as pool:
             parts = pool.map(_worker, jobs)
         cols = np.concatenate([p[0] for p in parts])
         nnz = np.concatenate([p[1] for p in parts])
 
     return ELLMatrix(cols=jnp.asarray(cols), nnz=jnp.asarray(nnz),
-                     vals=None, num_cols=vocab_size - shift)
+                     vals=None, num_cols=vocab_size - shift,
+                     sentinel_padded=True)

@@ -29,14 +29,24 @@ class SparseIndex(DenseIndex):
     index_type = IndexType.SPARSE
     _binary = False
 
+    # two-stage sketch search knobs (see ops/sketch.py): indexes larger
+    # than ``exact_threshold`` rows auto-build an MXU sketch
+    exact_threshold = 131072
+    sketch_dim = 512
+    sketch_seed = 42
+
     def __init__(self, index_file: Optional[str] = None,
                  data_file: Optional[str] = None, fp16: bool = True,
                  low_memory: bool = False, shift: int = 0,
-                 val_dtype=jnp.bfloat16, block_rows: int = 4096):
+                 val_dtype=jnp.bfloat16, block_rows: int = 4096,
+                 search_mode: str = "auto"):
         self.shift = shift
         self.val_dtype = val_dtype
         self.block_rows = block_rows
+        self.search_mode = search_mode  # 'auto' | 'exact' | 'sketch'
         self.ell: Optional[ELLMatrix] = None
+        self.sketch = None  # [N, d] bf16
+        self._projection = None
         super().__init__(index_file, data_file, fp16,
                          low_memory=low_memory)
 
@@ -50,6 +60,7 @@ class SparseIndex(DenseIndex):
             self.ell = self._load_native(files)
         else:
             self.ell = self._load_scipy(files)
+        self.sketch = None
         self._search_fn = None
 
     def _load_scipy(self, files) -> ELLMatrix:
@@ -75,16 +86,21 @@ class SparseIndex(DenseIndex):
 
     def _load_native(self, files) -> ELLMatrix:
         parts = []
+        sentinel = True
         for f in files:
             with np.load(f) as z:
                 cols, nnz = z["cols"], z["nnz"]
                 vals = z["vals"] if "vals" in z.files else None
                 num_cols = int(z["num_cols"])
+                sentinel = sentinel and bool(
+                    z["sentinel_padded"]) if "sentinel_padded" in z.files \
+                    else False
                 parts.append((cols, nnz, vals))
         nnz_pad = max(p[0].shape[1] for p in parts)
+        pad_col = num_cols if sentinel else 0
         cols = np.concatenate(
-            [np.pad(p[0], ((0, 0), (0, nnz_pad - p[0].shape[1])))
-             for p in parts])
+            [np.pad(p[0], ((0, 0), (0, nnz_pad - p[0].shape[1])),
+                    constant_values=pad_col) for p in parts])
         nnz = np.concatenate([p[1] for p in parts])
         if parts[0][2] is None:
             vals = None
@@ -96,10 +112,11 @@ class SparseIndex(DenseIndex):
             cols=jnp.asarray(cols), nnz=jnp.asarray(nnz),
             vals=None if vals is None
             else jnp.asarray(vals, dtype=self.val_dtype),
-            num_cols=num_cols)
+            num_cols=num_cols, sentinel_padded=sentinel)
 
     def set_ell(self, ell: ELLMatrix):
         self.ell = ell
+        self.sketch = None
         self._search_fn = None
 
     def set_vectors(self, mat):
@@ -110,6 +127,7 @@ class SparseIndex(DenseIndex):
             self.ell = ELLMatrix.from_scipy_csr(mat, binary=self._binary)
         else:
             self.ell = ELLMatrix.from_dense(np.asarray(mat))
+        self.sketch = None
         self._search_fn = None
 
     @property
@@ -133,24 +151,51 @@ class SparseIndex(DenseIndex):
         return 0 if self.ell is None else self.ell.shape[0]
 
     # -- search ------------------------------------------------------------
-    def search(self, q_embs, k: int) -> SearchResults:
-        from ..ops.ell import ell_matvec_scores
+    def _use_sketch(self) -> bool:
+        if self.search_mode == "exact":
+            return False
+        if self.search_mode == "sketch":
+            return True
+        return self.ell.shape[0] > self.exact_threshold
+
+    def build_sketch(self, d: Optional[int] = None,
+                     seed: Optional[int] = None):
+        """Precompute the [N, d] bf16 projection sketch (ops/sketch.py);
+        called lazily on first large-index search."""
+        from ..ops.sketch import make_projection, sketch_ell
+
+        d = d or self.sketch_dim
+        seed = seed if seed is not None else self.sketch_seed
+        self._projection = make_projection(self.ell.num_cols, d=d,
+                                           seed=seed)
+        self.sketch = jax.jit(sketch_ell)(self.ell, self._projection)
+        return self.sketch
+
+    def search(self, q_embs, k: int,
+               num_candidates: Optional[int] = None) -> SearchResults:
+        from ..ops.sketch import exact_search, two_stage_search
 
         q = jnp.asarray(np.asarray(q_embs), dtype=jnp.float32)
         if q.shape[-1] != self.ell.num_cols:
             raise ValueError(
                 f"query dim {q.shape[-1]} != index dim {self.ell.num_cols}")
-        if self._search_fn is None:
-            block = self.block_rows
-
-            def fn(q, ell, k):
-                scores = ell_matvec_scores(q, ell, block_rows=min(
-                    block, max(ell.shape[0], 1)))
-                return topk_from_scores(scores, k)
-
-            self._search_fn = jax.jit(fn, static_argnums=2)
-        k = min(k, self.ell.shape[0])
-        ids, scores = self._search_fn(q, self.ell, k)
+        n = self.ell.shape[0]
+        k = min(k, n)
+        if self._use_sketch():
+            if self.sketch is None:
+                self.build_sketch()
+            c = num_candidates or min(n, max(1024, 8 * k))
+            if self._search_fn is None or self._search_fn[0] != ("s", k, c):
+                fn = jax.jit(lambda q, ell, s, r: two_stage_search(
+                    q, ell, s, r, k=k, num_candidates=c))
+                self._search_fn = (("s", k, c), fn)
+            ids, scores = self._search_fn[1](q, self.ell, self.sketch,
+                                             self._projection)
+        else:
+            if self._search_fn is None or self._search_fn[0] != ("e", k):
+                fn = jax.jit(lambda q, ell: exact_search(q, ell, k=k))
+                self._search_fn = (("e", k), fn)
+            ids, scores = self._search_fn[1](q, self.ell)
         return SearchResults(np.asarray(ids), np.asarray(scores))
 
     # -- persistence -------------------------------------------------------
@@ -163,6 +208,7 @@ class SparseIndex(DenseIndex):
                 cols=np.asarray(ell.cols),
                 nnz=np.asarray(ell.nnz),
                 num_cols=np.asarray(ell.num_cols),
+                sentinel_padded=np.asarray(ell.sentinel_padded),
             )
             if ell.vals is not None:
                 arrays["vals"] = np.asarray(

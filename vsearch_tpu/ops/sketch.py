@@ -1,0 +1,129 @@
+"""Random-projection sketch scoring: the MXU-native sparse search path.
+
+TPU has no fast scattered-memory gather (Mosaic's dynamic_gather is a
+single-register shuffle), so CSR-style sparse scoring — the reference's
+torch.sparse GPU path (reference: src/ir/retriever/index.py:88-94) —
+cannot go fast on the VPU. The TPU-native design is ScaNN-style:
+
+  1. at build time, project every sparse row onto a fixed seeded
+     Rademacher matrix R [V+1, d] -> dense sketch S [N, d] bf16;
+  2. at query time, one MXU matmul  (q @ R) @ S^T  scores all rows,
+     approx-top-C selects candidates;
+  3. an exact gather-rerank over only B x C candidate rows (tiny)
+     restores exact top-k order.
+
+Unbiased: E[(qR)(pR)^T] = q p^T with variance ~ ||q||^2 ||p||^2 / d, so
+candidate recall is controlled by d and C (both configurable); the final
+top-k is exact over the candidate set.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .ell import ELLMatrix
+
+
+def make_projection(num_cols: int, d: int = 512, seed: int = 42,
+                    dtype=jnp.float32) -> jax.Array:
+    """Seeded Rademacher projection R [num_cols + 1, d] (last row is the
+    sentinel column -> zeros)."""
+    key = jax.random.PRNGKey(seed)
+    signs = jax.random.rademacher(key, (num_cols, d), dtype=dtype)
+    r = signs / jnp.sqrt(jnp.asarray(d, dtype))
+    return jnp.concatenate([r, jnp.zeros((1, d), dtype)], axis=0)
+
+
+def sketch_ell(ell: ELLMatrix, R: jax.Array,
+               dtype=jnp.bfloat16) -> jax.Array:
+    """S[n] = sum_j vals[n, j] * R[cols[n, j]]  -> [N, d].
+
+    Row-gathers of contiguous d-vectors (embedding-lookup pattern), which
+    the TPU handles well; runs once at index build.
+    """
+    nnz_pad = ell.nnz_pad
+    n = ell.cols.shape[0]
+    d = R.shape[1]
+
+    if not ell.sentinel_padded:
+        raise ValueError("sketch_ell requires sentinel-padded ELL")
+
+    def body(j, acc):
+        contrib = jnp.take(R, ell.cols[:, j], axis=0)  # [N, d]
+        if ell.vals is not None:
+            contrib = contrib * ell.vals[:, j][:, None]
+        return acc + contrib
+
+    s = jax.lax.fori_loop(0, nnz_pad, body,
+                          jnp.zeros((n, d), R.dtype))
+    return s.astype(dtype)
+
+
+def project_queries(q: jax.Array, R: jax.Array) -> jax.Array:
+    """q~ = q @ R[:V] for dense queries [B, V]."""
+    return jax.lax.dot_general(
+        q, R[:-1], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def exact_rerank(q: jax.Array, ell: ELLMatrix, cand: jax.Array, k: int
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Exact scores for candidate rows only; returns (ids, scores) [B, k].
+
+    One flat element-gather of B*C*nnz_pad query values — small enough
+    that the TPU's slow scattered reads don't matter.
+    """
+    b, c = cand.shape
+    nnz_pad = ell.nnz_pad
+    v1 = ell.num_cols + 1
+    crows = jnp.take(ell.cols, cand.reshape(-1), axis=0
+                     ).reshape(b, c, nnz_pad)
+    qp = jnp.pad(q.astype(jnp.float32), ((0, 0), (0, 1)))  # [B, V+1]
+    offs = (jnp.arange(b, dtype=jnp.int32) * v1)[:, None, None]
+    g = jnp.take(qp.reshape(-1), (crows + offs).reshape(-1)
+                 ).reshape(b, c, nnz_pad)
+    if ell.vals is not None:
+        cvals = jnp.take(ell.vals, cand.reshape(-1), axis=0
+                         ).reshape(b, c, nnz_pad)
+        g = g * cvals.astype(g.dtype)
+    elif not ell.sentinel_padded:
+        cnnz = jnp.take(ell.nnz, cand.reshape(-1)).reshape(b, c)
+        valid = (jnp.arange(nnz_pad)[None, None, :]
+                 < cnnz[:, :, None]).astype(g.dtype)
+        g = g * valid
+    scores = g.sum(axis=-1)  # [B, C]
+    top_scores, pos = jax.lax.top_k(scores, k)
+    top_ids = jnp.take_along_axis(cand, pos, axis=1)
+    return top_ids, top_scores
+
+
+def two_stage_search(q: jax.Array, ell: ELLMatrix, sketch: jax.Array,
+                     R: jax.Array, k: int, num_candidates: int,
+                     recall_target: float = 0.95
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Sketch-matmul candidates + exact rerank. One XLA program."""
+    qs = project_queries(q.astype(jnp.float32), R).astype(sketch.dtype)
+    s1 = jax.lax.dot_general(
+        qs, sketch, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [B, N]
+    _, cand = jax.lax.approx_max_k(s1, num_candidates,
+                                   recall_target=recall_target)
+    return exact_rerank(q, ell, cand, k)
+
+
+def exact_search(q: jax.Array, ell: ELLMatrix, k: int,
+                 chunk_rows: int = 65536
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Exact chunked gather scoring for small/medium indexes.
+
+    Materializes at most [B, chunk, nnz_pad] per step; bandwidth-bound on
+    the TPU's scalar-gather path, so prefer the sketch path at scale.
+    """
+    from .ell import ell_matvec_chunked
+
+    scores = ell_matvec_chunked(q, ell, chunk_rows)
+    k = min(k, scores.shape[1])
+    s, i = jax.lax.top_k(scores, k)
+    return i, s

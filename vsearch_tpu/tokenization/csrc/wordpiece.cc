@@ -372,8 +372,9 @@ void wp_encode_batch(void* handle, const char* texts,
 void wp_encode_bot_batch(void* handle, const char* texts,
                          const int64_t* offsets, int64_t n,
                          int32_t max_len, int32_t shift, int32_t cap,
-                         int32_t nnz_pad, int32_t* out_cols,
-                         int32_t* out_nnz, int32_t nthreads) {
+                         int32_t nnz_pad, int32_t pad_value,
+                         int32_t* out_cols, int32_t* out_nnz,
+                         int32_t nthreads) {
   const Vocab& v = *static_cast<Vocab*>(handle);
   run_parallel(n, nthreads, [&](int64_t lo, int64_t hi) {
     Scratch sc;
@@ -414,7 +415,7 @@ void wp_encode_bot_batch(void* handle, const char* texts,
       int32_t m = static_cast<int32_t>(row.size());
       int32_t* dst = out_cols + i * nnz_pad;
       std::memcpy(dst, row.data(), m * sizeof(int32_t));
-      for (int32_t k = m; k < nnz_pad; k++) dst[k] = 0;
+      for (int32_t k = m; k < nnz_pad; k++) dst[k] = pad_value;
       out_nnz[i] = m;
     }
   });

@@ -54,7 +54,7 @@ def _lib():
             ctypes.c_void_p, ctypes.c_char_p,
             np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
             np.ctypeslib.ndpointer(np.int32),
             np.ctypeslib.ndpointer(np.int32), ctypes.c_int32]
         _lib_handle = lib
@@ -137,16 +137,19 @@ class NativeWordPieceTokenizer:
         return self.encode_batch([text], max_length, add_special_tokens)[0]
 
     def encode_bot_batch(self, texts: Sequence[str], max_len: int,
-                         shift: int, cap: int, nnz_pad: int
+                         shift: int, cap: int, nnz_pad: int,
+                         pad_value: int = 0
                          ) -> Tuple[np.ndarray, np.ndarray]:
-        """Fused BoT rows: (cols [N, nnz_pad] int32 shifted, nnz [N])."""
+        """Fused BoT rows: (cols [N, nnz_pad] int32 shifted, nnz [N]).
+        Padding entries hold ``pad_value`` (pass the sentinel column id
+        for mask-free scoring)."""
         blob, offsets = _pack_texts(texts)
         n = len(texts)
         cols = np.zeros((n, nnz_pad), dtype=np.int32)
         nnz = np.zeros(n, dtype=np.int32)
         _lib().wp_encode_bot_batch(self._handle, blob, offsets, n, max_len,
-                                   shift, cap, nnz_pad, cols, nnz,
-                                   self.nthreads)
+                                   shift, cap, nnz_pad, pad_value, cols,
+                                   nnz, self.nthreads)
         return cols, nnz
 
     # -- misc (parity with python tokenizer) -------------------------------
