@@ -125,20 +125,47 @@ def main():
         active = rng.choice(v, size=768, replace=False)
         q[i, active] = rng.random(768).astype(np.float32)
 
-    # warmup / compile
-    index.search(q[: args.query_batch], k=args.topk)
     t0 = time.perf_counter()
-    nq = 0
-    for start in range(0, args.num_queries, args.query_batch):
-        chunk = q[start: start + args.query_batch]
-        if chunk.shape[0] < args.query_batch:
-            break
-        res = index.search(chunk, k=args.topk)
-        nq += chunk.shape[0]
-    jax.block_until_ready(res.scores) if hasattr(
-        res.scores, "block_until_ready") else None
+    if index._use_sketch():
+        index.build_sketch()
+        jax.block_until_ready(index.sketch)
+    sketch_s = time.perf_counter() - t0
+
+    # warmup / compile, then measure pipelined (one sync at the end —
+    # per-call syncs would measure tunnel RTT, not device throughput;
+    # queries live on device, as they do in the real pipeline where the
+    # encoder produces them there)
+    index.search(q[: args.query_batch], k=args.topk)
+    chunks = [jnp.asarray(q[s: s + args.query_batch])
+              for s in range(0, args.num_queries, args.query_batch)
+              if s + args.query_batch <= args.num_queries]
+    t0 = time.perf_counter()
+    last = None
+    for qd in chunks:
+        if index._use_sketch():
+            last = index._search_fn[1](qd, index.ell, index.sketch,
+                                       index._projection)
+        else:
+            last = index._search_fn[1](qd, index.ell)
+    jax.block_until_ready(last)
     search_s = time.perf_counter() - t0
+    nq = len(chunks) * args.query_batch
     qps = nq / search_s
+
+    # ---- recall of the production path vs exact scoring -----------------
+    # exact reference computed on host (independent of the device path)
+    nr = min(8, args.query_batch)
+    cols_np = np.asarray(ell.cols)
+    qpad = np.concatenate([q[:nr], np.zeros((nr, 1), np.float32)], axis=1)
+    recalls = []
+    got = index.search(q[:nr], k=args.topk)
+    got_ids = np.asarray(got.ids)
+    for i in range(nr):
+        exact_scores = qpad[i][cols_np].sum(axis=1)
+        true_top = set(np.argpartition(-exact_scores, args.topk)[
+            : args.topk].tolist())
+        recalls.append(len(true_top & set(got_ids[i])) / args.topk)
+    recall = float(np.mean(recalls))
 
     baseline_rate = 21_015_324 / 1_756.0  # reference build excl. I/O
     out = {
@@ -150,6 +177,9 @@ def main():
         "num_passages": args.num_passages,
         "tokenizer": tok_kind,
         "search_qps": round(qps, 1),
+        "search_recall_vs_exact": round(float(recall), 4),
+        "search_mode": "sketch" if index._use_sketch() else "exact",
+        "sketch_build_s": round(sketch_s, 2),
         "search_batch": args.query_batch,
         "search_k": args.topk,
         "index_rows": int(ell.shape[0]),

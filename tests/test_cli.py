@@ -1,0 +1,137 @@
+"""End-to-end CLI pipeline tests: build index -> search -> score,
+mirroring the reference's wiki21m pipeline on a tiny corpus."""
+import json
+
+import numpy as np
+import pytest
+
+from tests.helpers import make_tokenizer, tiny_bert_config
+from vsearch_tpu.retriever import Retriever, RetrieverConfig
+
+CORPUS = [
+    {"text": "green tea is a drink", "title": "tea"},
+    {"text": "the red planet mars has ice water", "title": "mars"},
+    {"text": "einstein wrote the theory of relativity", "title": "re"},
+    {"text": "a big dog runs fast in the city", "title": "dog"},
+    {"text": "the river water runs slow", "title": "river"},
+    {"text": "physics is the theory of space and time", "title": "phys"},
+]
+QUERIES = ["who wrote the theory of relativity", "green tea drink"]
+ANSWERS = [["einstein"], ["tea"]]
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    corpus = d / "corpus.jsonl"
+    corpus.write_text("\n".join(json.dumps(r) for r in CORPUS) + "\n")
+    queries = d / "queries.jsonl"
+    queries.write_text("\n".join(
+        json.dumps({"question": q}) for q in QUERIES) + "\n")
+    qa = d / "qa.csv"
+    qa.write_text("\n".join(f"{q}\t{a!r}" for q, a in zip(QUERIES,
+                                                          ANSWERS)) + "\n")
+    # tiny checkpoint
+    tok = make_tokenizer()
+    enc = {
+        "type": "vdr", "max_len": 32, "topk": 16, "shift_vocab_num": 5,
+        **{k: v for k, v in vars(tiny_bert_config(tok.vocab_size)).items()
+           if k in ("vocab_size", "hidden_size", "num_hidden_layers",
+                    "num_attention_heads", "intermediate_size",
+                    "max_position_embeddings")},
+    }
+    cfg = RetrieverConfig(encoder_q=dict(enc), encoder_p=dict(enc),
+                          shared_encoder=True)
+    r = Retriever(cfg, tokenizer=tok)
+    ckpt = d / "ckpt"
+    r.save_pretrained(str(ckpt))
+    return d
+
+
+def test_checkpoint_self_contained(workdir):
+    """from_pretrained works with no tokenizer argument (dir vocab)."""
+    r = Retriever.from_pretrained(str(workdir / "ckpt"))
+    emb = r.encoder_q.embed(["green tea"])
+    assert emb.shape[0] == 1
+
+
+def test_binary_token_index_cli(workdir):
+    from vsearch_tpu.cli.build_index.binary_token_index import main
+
+    save = str(workdir / "bot.npz")
+    main(["--text_file", str(workdir / "corpus.jsonl"),
+          "--save_file", save,
+          "--num_shift", "5",
+          "--tokenizer", str(workdir / "ckpt"),
+          "--num_workers", "1"])
+    import scipy.sparse as sp
+    mat = sp.load_npz(save)
+    assert mat.shape[0] == len(CORPUS)
+
+
+def test_sparse_index_build_search_score_pipeline(workdir):
+    from vsearch_tpu.cli.build_index.sparse_index import main as build
+    from vsearch_tpu.cli.search.search_sparse_index import main as search
+    from vsearch_tpu.cli.score.eval_wiki21m import main as score
+
+    idx = str(workdir / "sparse_index.npz")
+    build(["--checkpoint", str(workdir / "ckpt"),
+           "--text_file", str(workdir / "corpus.jsonl"),
+           "--save_file", idx, "--batch_size", "4"])
+    results = str(workdir / "results.json")
+    search(["--checkpoint", str(workdir / "ckpt"),
+            "--query_file", str(workdir / "queries.jsonl"),
+            "--index_file", idx, "--save_file", results,
+            "--batch_size_q", "2", "--topk", "3"])
+    with open(results) as f:
+        res = json.load(f)
+    assert len(res) == 2
+    assert len(res[0]["ids"]) == 3
+    score(["--result_file", results,
+           "--text_file", str(workdir / "corpus.jsonl"),
+           "--qa_file", str(workdir / "qa.csv")])
+
+
+def test_sharded_build_then_glob_search(workdir):
+    from vsearch_tpu.cli.build_index.binary_token_index import main
+
+    for shard in range(2):
+        main(["--text_file", str(workdir / "corpus.jsonl"),
+              "--save_file", str(workdir / f"bot_shard{shard}.npz"),
+              "--num_shift", "5",
+              "--tokenizer", str(workdir / "ckpt"),
+              "--num_shard", "2", "--shard_id", str(shard),
+              "--num_workers", "1"])
+    r = Retriever.from_pretrained(str(workdir / "ckpt"))
+    r.load_index(index_file=str(workdir / "bot_shard*.npz"),
+                 index_type="bag_of_token")
+    assert len(r.index) == len(CORPUS)
+
+
+def test_beta_search_cli(workdir):
+    from vsearch_tpu.cli.build_index.binary_token_index import main as build
+    from vsearch_tpu.cli.search.beta_search import main as beta
+
+    idx = str(workdir / "bot2.npz")
+    build(["--text_file", str(workdir / "corpus.jsonl"),
+           "--save_file", idx, "--num_shift", "5",
+           "--tokenizer", str(workdir / "ckpt"), "--num_workers", "1"])
+    results = str(workdir / "beta_results.json")
+    beta(["--checkpoint", str(workdir / "ckpt"),
+          "--query_file", str(workdir / "queries.jsonl"),
+          "--text_file", str(workdir / "corpus.jsonl"),
+          "--index_file", idx, "--save_file", results,
+          "--batch_size_q", "2", "--topk", "3", "--num_rerank", "3"])
+    with open(results) as f:
+        res = json.load(f)
+    assert len(res) == 2 and len(res[0]["ids"]) == 3
+
+
+def test_eval_accuracy_computation():
+    from vsearch_tpu.cli.score.eval_wiki21m import evaluate
+
+    texts = ["einstein made relativity", "the cat", "the dog"]
+    results = [{"question": "who", "ids": [1, 0, 2], "scores": [3, 2, 1]}]
+    qa = [("who", ["einstein"])]
+    acc = evaluate(results, texts, qa, topk_levels=(1, 2, 3))
+    assert acc[1] == 0.0 and acc[2] == 1.0 and acc[3] == 1.0

@@ -132,6 +132,13 @@ class BiEncoder:
         with open(os.path.join(path, _NATIVE_CONFIG), "w") as f:
             json.dump({"class": type(self).__name__,
                        "config": self.config.to_dict()}, f, indent=2)
+        # ship the tokenizer vocab so the checkpoint is self-contained
+        vocab = getattr(self.encoder_q.tokenizer, "vocab", None)
+        if isinstance(vocab, dict):
+            ordered = sorted(vocab.items(), key=lambda kv: kv[1])
+            with open(os.path.join(path, "vocab.txt"), "w",
+                      encoding="utf-8") as f:
+                f.write("\n".join(tok for tok, _ in ordered) + "\n")
         with open(os.path.join(path, "encoder_q.msgpack"), "wb") as f:
             f.write(serialization.to_bytes(self.encoder_q.variables))
         if not self.config.shared_encoder:
@@ -152,10 +159,20 @@ class BiEncoder:
             f"no native ({_NATIVE_CONFIG}) or HF (config.json) checkpoint "
             f"found under {path}")
 
+    @staticmethod
+    def _dir_tokenizer(path: str, tokenizer):
+        """Prefer a checkpoint-local vocab.txt when no tokenizer given."""
+        if tokenizer is None and os.path.isfile(
+                os.path.join(path, "vocab.txt")):
+            from .tokenization import get_tokenizer
+            tokenizer = get_tokenizer(path)
+        return tokenizer
+
     @classmethod
     def _from_native(cls, path: str, tokenizer=None, **kwargs):
         from flax import serialization
 
+        tokenizer = cls._dir_tokenizer(path, tokenizer)
         with open(os.path.join(path, _NATIVE_CONFIG)) as f:
             config = cls.config_class.from_dict(json.load(f)["config"])
         model = cls(config, tokenizer=tokenizer, **kwargs)
@@ -179,6 +196,7 @@ class BiEncoder:
         from .models.hf_convert import (convert_dpr_params,
                                         convert_vdr_params)
 
+        tokenizer = cls._dir_tokenizer(path, tokenizer)
         with open(os.path.join(path, "config.json")) as f:
             hf_cfg = json.load(f)
         config = cls.config_class.from_dict(hf_cfg)

@@ -32,8 +32,10 @@ class SparseIndex(DenseIndex):
     # two-stage sketch search knobs (see ops/sketch.py): indexes larger
     # than ``exact_threshold`` rows auto-build an MXU sketch
     exact_threshold = 131072
-    sketch_dim = 512
+    sketch_dim = 1024
     sketch_seed = 42
+    rerank_exact = True  # exact re-score of sketch candidates
+    rerank_budget = 4_000_000  # max B*C*nnz_pad scalar gathers per batch
 
     def __init__(self, index_file: Optional[str] = None,
                  data_file: Optional[str] = None, fp16: bool = True,
@@ -184,11 +186,19 @@ class SparseIndex(DenseIndex):
         if self._use_sketch():
             if self.sketch is None:
                 self.build_sketch()
-            c = num_candidates or min(n, max(1024, 8 * k))
-            if self._search_fn is None or self._search_fn[0] != ("s", k, c):
+            if num_candidates is None:
+                # clamp candidate set by the scalar-gather budget
+                b = int(q.shape[0])
+                cap = max(k, self.rerank_budget
+                          // max(b * self.ell.nnz_pad, 1))
+                num_candidates = min(n, max(2 * k, 64), cap)
+            c = num_candidates
+            rr = self.rerank_exact and c > k
+            key = ("s", k, c, rr)
+            if self._search_fn is None or self._search_fn[0] != key:
                 fn = jax.jit(lambda q, ell, s, r: two_stage_search(
-                    q, ell, s, r, k=k, num_candidates=c))
-                self._search_fn = (("s", k, c), fn)
+                    q, ell, s, r, k=k, num_candidates=c, rerank=rr))
+                self._search_fn = (key, fn)
             ids, scores = self._search_fn[1](q, self.ell, self.sketch,
                                              self._projection)
         else:

@@ -1,0 +1,166 @@
+"""Cross-modal VDR text encoder: text -> valid-vocab-subspace vector.
+
+TPU-native rebuild of reference src/ir/encoder/vdr_crossmodal_text.py:
+28-152: BERT -> LayerNorm -> projection onto the word embeddings of the
+*valid* vocab subset -> max-pool -> elu1p -> mandatory L2 norm.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.activations import elu1p
+from ..ops.sparse import build_topk_mask
+from .bert import BertConfig, BertModel
+from .encoder_base import TextEncoderBase
+from .valid_vocab import VALID_TOKEN_IDS, VID2LID, valid_token_ids
+
+
+@dataclasses.dataclass(frozen=True)
+class VDRTextEncoderConfig:
+    model_id: str = "bert-base-uncased"
+    max_len: int = 256
+    topk: int = 768
+    bert: BertConfig = dataclasses.field(default_factory=BertConfig)
+    type: str = "vdr_crossmodal_text"
+
+    @property
+    def vocab_size(self) -> int:
+        return self.bert.vocab_size
+
+    @property
+    def out_dim(self) -> int:
+        return len(self.valid_ids)
+
+    @property
+    def valid_ids(self) -> np.ndarray:
+        if self.bert.vocab_size == 30522:
+            return VALID_TOKEN_IDS
+        # tests / small vocabs: treat everything past specials as valid
+        return valid_token_ids(self.bert.vocab_size) if \
+            self.bert.vocab_size > 30000 else np.arange(
+                5, self.bert.vocab_size)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "VDRTextEncoderConfig":
+        bert_keys = {f.name for f in dataclasses.fields(BertConfig)}
+        own_keys = {f.name for f in dataclasses.fields(cls)} - {"bert"}
+        bert = BertConfig(**{k: v for k, v in d.items() if k in bert_keys})
+        own = {k: v for k, v in d.items() if k in own_keys}
+        return cls(bert=bert, **own)
+
+
+class VDRTextModule(nn.Module):
+    """tokens -> [B, V_valid] normalized vocab-subspace embedding
+    (reference vdr_crossmodal_text.py:39-57)."""
+
+    config: VDRTextEncoderConfig
+
+    def setup(self):
+        bcfg = self.config.bert
+        self.word_embeddings = nn.Embed(
+            bcfg.vocab_size, bcfg.hidden_size, dtype=bcfg.dtype,
+            name="word_embeddings")
+        self.bert = BertModel(bcfg, word_embed=self.word_embeddings,
+                              name="bert")
+        self.ln = nn.LayerNorm(epsilon=1e-5, name="ln")
+
+    def __call__(self, input_ids, token_type_ids=None, attention_mask=None,
+                 *, deterministic: bool = True) -> jax.Array:
+        cfg = self.config
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids)
+        h = self.bert(input_ids, token_type_ids, attention_mask,
+                      deterministic=deterministic)
+        h = self.ln(h)
+        proj = self.word_embeddings.embedding[
+            jnp.asarray(cfg.valid_ids)]  # [V_valid, H]
+        logits = jax.lax.dot_general(
+            h, proj, (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [B, L, V_valid]
+        valid = attention_mask[:, :, None].astype(jnp.bool_)
+        neg = jnp.asarray(-jnp.inf, dtype=logits.dtype)
+        pooled = jnp.where(valid, logits, neg).max(axis=1)
+        emb = elu1p(pooled)
+        # L2 norm is mandatory for cross-modal (reference :56)
+        return emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+
+
+class VDRTextEncoder(TextEncoderBase):
+    config_class = VDRTextEncoderConfig
+
+    def __init__(self, config: VDRTextEncoderConfig, variables=None,
+                 tokenizer=None, rng: Optional[jax.Array] = None):
+        self.module = VDRTextModule(config)
+        if variables is None:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            dummy = jnp.zeros((1, 8), dtype=jnp.int32)
+            variables = self.module.init(rng, dummy, dummy, dummy)
+        if tokenizer is None:
+            from ..tokenization import get_tokenizer
+            tokenizer = get_tokenizer(config.model_id)
+        super().__init__(config, variables, tokenizer)
+        self._valid_ids = np.asarray(config.valid_ids)
+        self._lid2vid = {int(l): v for v, l in enumerate(self._valid_ids)}
+
+    def _bow_valid(self, ids: jax.Array) -> jax.Array:
+        """BoW over the full vocab, selected down to valid columns
+        (reference vdr_crossmodal_text.py:69-72)."""
+        from ..ops.sparse import build_bow_mask
+
+        bow = build_bow_mask(ids, vocab_size=self.config.vocab_size)
+        return bow[:, jnp.asarray(self._valid_ids)]
+
+    def _make_embed_fn(self, topk: Optional[int]):
+        def fn(variables, ids, ttype, mask):
+            emb = self.module.apply(variables, ids, ttype, mask)
+            bow = self._bow_valid(ids)
+            if topk == 0:
+                m = bow > 0
+            elif topk is None or topk == -1:
+                m = jnp.ones_like(bow, dtype=jnp.bool_)
+            else:
+                m = jnp.logical_or(build_topk_mask(emb, k=topk), bow > 0)
+            return emb * m
+
+        return jax.jit(fn)
+
+    def embed(self, texts: Union[str, List[str]], batch_size: int = 128,
+              max_len: Optional[int] = None, topk: Optional[int] = "cfg",
+              bow: bool = False, **_ignored) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        max_len = max_len or self.config.max_len
+        if topk == "cfg":
+            topk = self.config.topk
+        if bow:
+            key, make = "bow", lambda L: jax.jit(
+                lambda v, ids, tt, am: self._bow_valid(ids))
+        else:
+            key = ("emb", topk)
+            make = lambda L: self._make_embed_fn(topk)
+        return self._run_batches(texts, batch_size, max_len, key, make)
+
+    def disentangle(self, text: str, topk: Optional[int] = None,
+                    visual: bool = False, save_file: Optional[str] = None
+                    ) -> Dict[str, float]:
+        topk = topk or self.config.topk
+        emb = self.embed(text)[0]
+        k = min(topk, emb.shape[-1])
+        idx = [int(i) for i in np.argsort(-emb)[:k] if emb[i] != 0]
+        token_ids = [int(self._valid_ids[i]) for i in idx]
+        tokens = self.tokenizer.convert_ids_to_tokens(token_ids)
+        results = dict(zip(tokens, [float(emb[i]) for i in idx]))
+        if visual:
+            from ..utils.vis import wordcloud_from_dict
+            wordcloud_from_dict(results, max_words=topk,
+                                save_file=save_file)
+        return results
+
+    dst = disentangle

@@ -101,13 +101,24 @@ def exact_rerank(q: jax.Array, ell: ELLMatrix, cand: jax.Array, k: int
 
 def two_stage_search(q: jax.Array, ell: ELLMatrix, sketch: jax.Array,
                      R: jax.Array, k: int, num_candidates: int,
-                     recall_target: float = 0.95
+                     recall_target: float = 0.95, rerank: bool = True
                      ) -> Tuple[jax.Array, jax.Array]:
-    """Sketch-matmul candidates + exact rerank. One XLA program."""
+    """Sketch-matmul candidates (+ optional exact rerank). One XLA program.
+
+    With ``rerank=False`` the sketch scores rank directly (fastest;
+    ranking error ~ ||q||*||p||/sqrt(d)). With ``rerank=True`` the top
+    ``num_candidates`` are exactly re-scored — the TPU's scalar-gather
+    rate (~1e8/s) prices this at roughly B*C*nnz_pad/1e8 seconds, so keep
+    B*C*nnz_pad around a few million.
+    """
     qs = project_queries(q.astype(jnp.float32), R).astype(sketch.dtype)
     s1 = jax.lax.dot_general(
         qs, sketch, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # [B, N]
+    if not rerank:
+        scores, cand = jax.lax.approx_max_k(s1, k,
+                                            recall_target=recall_target)
+        return cand, scores
     _, cand = jax.lax.approx_max_k(s1, num_candidates,
                                    recall_target=recall_target)
     return exact_rerank(q, ell, cand, k)
