@@ -1,0 +1,110 @@
+"""End-to-end trainer test: tiny dataset, few steps, checkpoint/resume."""
+import json
+
+import numpy as np
+import pytest
+
+from tests.helpers import make_tokenizer, tiny_bert_config
+from vsearch_tpu.data import BiEncoderDataset
+from vsearch_tpu.retriever import Retriever, RetrieverConfig
+from vsearch_tpu.train.trainer import RetrieverTrainer, TrainConfig
+
+
+@pytest.fixture(scope="module")
+def train_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("train")
+    rows = []
+    words = ["tea", "mars", "einstein", "dog", "river", "physics",
+             "city", "water", "light", "planet"]
+    for i in range(24):
+        w = words[i % len(words)]
+        rows.append({
+            "question": f"what is {w}",
+            "answers": [w],
+            "positive_ctxs": [{"text": f"{w} is the answer about {w}",
+                               "title": w}],
+            "negative_ctxs": [],
+            "hard_negative_ctxs": [
+                {"text": f"unrelated passage number {i}"}],
+        })
+    p = d / "train.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    return str(p), str(d)
+
+
+def make_retriever():
+    tok = make_tokenizer()
+    enc = {
+        "type": "vdr", "max_len": 24, "topk": 16, "shift_vocab_num": 5,
+        **{k: v for k, v in vars(tiny_bert_config(tok.vocab_size)).items()
+           if k in ("vocab_size", "hidden_size", "num_hidden_layers",
+                    "num_attention_heads", "intermediate_size",
+                    "max_position_embeddings")},
+    }
+    cfg = RetrieverConfig(encoder_q=dict(enc), encoder_p=dict(enc),
+                          shared_encoder=True)
+    return Retriever(cfg, tokenizer=tok)
+
+
+def test_trainer_runs_and_loss_decreases(train_file, tmp_path):
+    path, _ = train_file
+    ds = BiEncoderDataset(path)
+    retriever = make_retriever()
+    cfg = TrainConfig(batch_size=8, num_train_epochs=3,
+                      learning_rate=5e-4, num_warmup_epochs=1,
+                      num_epoch_to_save=10, hard_negatives=1,
+                      other_negatives=0, log_batch_step=100,
+                      output_dir=str(tmp_path), seed=3)
+    trainer = RetrieverTrainer(retriever, cfg, [ds])
+    trainer.run_train()
+    # after training, params must differ from init and embed must work
+    assert int(trainer.state.step) == 3 * 3  # 24 samples / 8 = 3 per epoch
+    trainer._sync_params_to_retriever()
+    emb = retriever.encoder_q.embed(["what is tea"])
+    assert np.isfinite(emb).all()
+
+
+def test_trainer_checkpoint_resume(train_file, tmp_path):
+    path, _ = train_file
+    ds = BiEncoderDataset(path)
+    retriever = make_retriever()
+    cfg = TrainConfig(batch_size=8, num_train_epochs=2,
+                      learning_rate=5e-4, num_epoch_to_save=1,
+                      output_dir=str(tmp_path), seed=4)
+    trainer = RetrieverTrainer(retriever, cfg, [ds])
+    trainer.run_train()
+    assert int(trainer.state.step) == 6
+
+    # model checkpoints exist and load
+    loaded = Retriever.from_pretrained(str(tmp_path / "checkpoint_2"))
+    e1 = loaded.encoder_q.embed(["what is tea"])
+    trainer._sync_params_to_retriever()
+    e2 = retriever.encoder_q.embed(["what is tea"])
+    np.testing.assert_allclose(e1, e2, rtol=1e-5, atol=1e-6)
+
+    # full train-state checkpoint restores step count
+    r2 = make_retriever()
+    t2 = RetrieverTrainer(r2, cfg, [ds])
+    t2._init_state(3)
+    t2.state, meta = __import__(
+        "vsearch_tpu.train.checkpoint", fromlist=["load_checkpoint"]
+    ).load_checkpoint(str(tmp_path / "train_state"), t2.state)
+    assert int(t2.state.step) == 6
+    assert meta["epoch"] == 2
+
+
+def test_trainer_ret_negatives(train_file, tmp_path):
+    """Retrieved-negatives path: trainer mines negatives from a live
+    index between steps (reference retriever.py:48-67)."""
+    path, _ = train_file
+    ds = BiEncoderDataset(path)
+    retriever = make_retriever()
+    corpus = [f"some passage about topic {i}" for i in range(10)]
+    retriever.build_index(corpus, batch_size=4, index_type="dense")
+    cfg = TrainConfig(batch_size=4, num_train_epochs=1,
+                      learning_rate=5e-4, ret_negatives=1, ret_topk=5,
+                      negative_pool_size=4, num_epoch_to_save=10,
+                      output_dir=str(tmp_path), seed=5)
+    trainer = RetrieverTrainer(retriever, cfg, [ds])
+    trainer.run_train()
+    assert int(trainer.state.step) == 6
