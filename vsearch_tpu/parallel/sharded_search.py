@@ -1,0 +1,130 @@
+"""Mesh-sharded index search: per-shard top-k merged over ICI.
+
+The reference loads all index shards onto ONE device via glob+vstack
+(reference: src/ir/retriever/index.py:163-179) — its "index-serve
+sharding" stops at the filesystem. Here the index rows shard across the
+mesh's ``dp`` axis; each device scores its rows and produces a local
+top-k, and only (ids, scores) candidate lists — O(devices * k), not
+score rows — ride the interconnect through an all_gather before the
+final merge. This is what lets a wiki21m-scale index live across a v5e
+slice with single-digit-ms query latency.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.ell import ELLMatrix
+from ..ops.search import dense_topk_search, merge_shard_topk
+
+
+def _pad_rows(n: int, shards: int) -> int:
+    per = -(-n // shards)
+    return per * shards
+
+
+def shard_rows(mesh: Mesh, arr: jax.Array, axis_name: str = "dp"
+               ) -> jax.Array:
+    """Pad leading dim to the shard count and place row-sharded."""
+    shards = mesh.shape[axis_name]
+    n = arr.shape[0]
+    pad = _pad_rows(n, shards) - n
+    if pad:
+        arr = jnp.pad(arr, [(0, pad)] + [(0, 0)] * (arr.ndim - 1))
+    spec = P(axis_name, *([None] * (arr.ndim - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def shard_ell(mesh: Mesh, ell: ELLMatrix, axis_name: str = "dp"
+              ) -> ELLMatrix:
+    """Row-shard an ELLMatrix over the mesh (padding rows are empty:
+    sentinel cols, nnz 0)."""
+    shards = mesh.shape[axis_name]
+    n = ell.cols.shape[0]
+    pad = _pad_rows(n, shards) - n
+    cols, nnz, vals = ell.cols, ell.nnz, ell.vals
+    if pad:
+        pad_col = ell.num_cols if ell.sentinel_padded else 0
+        cols = jnp.pad(cols, ((0, pad), (0, 0)), constant_values=pad_col)
+        nnz = jnp.pad(nnz, (0, pad))
+        if vals is not None:
+            vals = jnp.pad(vals, ((0, pad), (0, 0)))
+    sh2 = NamedSharding(mesh, P(axis_name, None))
+    sh1 = NamedSharding(mesh, P(axis_name))
+    return ELLMatrix(
+        cols=jax.device_put(cols, sh2),
+        nnz=jax.device_put(nnz, sh1),
+        vals=None if vals is None else jax.device_put(vals, sh2),
+        num_cols=ell.num_cols, sentinel_padded=ell.sentinel_padded)
+
+
+def make_sharded_dense_search(mesh: Mesh, k: int, num_rows: int,
+                              axis_name: str = "dp"):
+    """Build a jitted sharded dense search: (q [B, D] replicated,
+    vectors [N, D] row-sharded) -> global (ids, scores) [B, k]."""
+    shards = mesh.shape[axis_name]
+    rows_per = _pad_rows(num_rows, shards) // shards
+    k_local = min(k, rows_per)
+
+    def local(q, vec_shard):
+        ids, scores = dense_topk_search(
+            q, vec_shard, k_local,
+            precision=jax.lax.Precision.DEFAULT)
+        offset = jax.lax.axis_index(axis_name) * rows_per
+        ids = ids + offset
+        all_ids = jax.lax.all_gather(ids, axis_name)        # [S, B, kl]
+        all_scores = jax.lax.all_gather(scores, axis_name)
+        return merge_shard_topk(all_ids, all_scores, k)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis_name, None)),
+        out_specs=(P(), P()), check_vma=False)
+    return jax.jit(fn)
+
+
+def make_sharded_ell_search(mesh: Mesh, k: int,
+                            ell_template: ELLMatrix, score_fn,
+                            axis_name: str = "dp"):
+    """Build a jitted sharded sparse search over a row-sharded ELLMatrix.
+
+    ``score_fn(q, ell_shard) -> [B, rows_per]`` is the single-device
+    scorer (exact chunked gather or the bit-plane MXU scorer);
+    ``ell_template`` supplies static metadata (num_cols, has-vals,
+    sharded row count — pass the already-sharded matrix).
+    """
+    shards = mesh.shape[axis_name]
+    num_rows = ell_template.cols.shape[0]
+    assert num_rows % shards == 0, "shard the ELL with shard_ell first"
+    rows_per = num_rows // shards
+    k_local = min(k, rows_per)
+    num_cols = ell_template.num_cols
+    has_vals = ell_template.vals is not None
+
+    def local(q, cols, nnz, vals):
+        ell_shard = ELLMatrix(cols=cols, nnz=nnz, vals=vals,
+                              num_cols=num_cols, sentinel_padded=True)
+        scores = score_fn(q, ell_shard)  # [B, rows_per]
+        s, i = jax.lax.top_k(scores, k_local)
+        i = i + jax.lax.axis_index(axis_name) * rows_per
+        all_ids = jax.lax.all_gather(i, axis_name)   # [S, B, kl]
+        all_scores = jax.lax.all_gather(s, axis_name)
+        return merge_shard_topk(all_ids, all_scores, k)
+
+    if has_vals:
+        fn = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(axis_name, None), P(axis_name),
+                      P(axis_name, None)),
+            out_specs=(P(), P()), check_vma=False)
+        return jax.jit(lambda q, e: fn(q, e.cols, e.nnz, e.vals))
+    fn = jax.shard_map(
+        lambda q, c, z: local(q, c, z, None), mesh=mesh,
+        in_specs=(P(), P(axis_name, None), P(axis_name)),
+        out_specs=(P(), P()), check_vma=False)
+    return jax.jit(lambda q, e: fn(q, e.cols, e.nnz))
