@@ -96,6 +96,7 @@ def main():
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--query-batch", type=int, default=32)
     ap.add_argument("--topk", type=int, default=100)
+    ap.add_argument("--skip-embed-bench", action="store_true")
     args = ap.parse_args()
 
     corpus = make_corpus(args.num_passages)
@@ -167,6 +168,34 @@ def main():
         recalls.append(len(true_top & set(got_ids[i])) / args.topk)
     recall = float(np.mean(recalls))
 
+    # ---- neural embed throughput (bert-base VDR forward, bf16) ----------
+    embed_ps = 0.0
+    if not args.skip_embed_bench:
+        from vsearch_tpu.models.bert import BertConfig
+        from vsearch_tpu.models.vdr import VDREncoderConfig, VDRModule
+
+        vcfg = VDREncoderConfig(bert=BertConfig(dtype=jnp.bfloat16),
+                                max_len=128, shift_vocab_num=999,
+                                topk=768)
+        module = VDRModule(vcfg)
+        eb, el = 64, 128
+        ids = jnp.asarray(rng.integers(999, 30522, size=(eb, el)),
+                          jnp.int32)
+        ttype = jnp.zeros_like(ids)
+        mask = jnp.ones_like(ids)
+        variables = module.init(jax.random.PRNGKey(0), ids[:1, :8],
+                                ttype[:1, :8], mask[:1, :8])
+        fwd = jax.jit(lambda v, i, t, m: module.apply(v, i, t, m))
+        r = fwd(variables, ids, ttype, mask)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        it = 12
+        for _ in range(it):
+            r = fwd(variables, ids, ttype, mask)
+        jax.block_until_ready(r)
+        float(jnp.sum(r[0, :2]))
+        embed_ps = eb * it / (time.perf_counter() - t0)
+
     baseline_rate = 21_015_324 / 1_756.0  # reference build excl. I/O
     out = {
         "metric": "bot_build_passages_per_s",
@@ -184,6 +213,7 @@ def main():
         "search_k": args.topk,
         "index_rows": int(ell.shape[0]),
         "index_nnz_pad": int(ell.nnz_pad),
+        "embed_passages_per_s": round(embed_ps, 1),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))

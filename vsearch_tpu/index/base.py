@@ -149,10 +149,36 @@ class DenseIndex:
             return len(self._lazy)
         return 0 if self.vector is None else int(self.vector.shape[0])
 
+    # -- distribution ------------------------------------------------------
+    def to_mesh(self, mesh, axis_name: str = "dp"):
+        """Shard index rows across the mesh; subsequent searches run the
+        per-shard top-k + ICI merge path (parallel/sharded_search.py)."""
+        from ..parallel.sharded_search import shard_rows
+
+        self._true_rows = int(self.vector.shape[0])
+        self.vector = shard_rows(mesh, self.vector, axis_name)
+        self._mesh = (mesh, axis_name)
+        self._search_fn = None
+        return self
+
     # -- search ------------------------------------------------------------
     def search(self, q_embs, k: int) -> SearchResults:
         q = jnp.asarray(np.asarray(q_embs), dtype=self.vector.dtype)
-        k = min(k, int(self.vector.shape[0]))
+        k = min(k, getattr(self, "_true_rows", None)
+                or int(self.vector.shape[0]))
+        mesh_info = getattr(self, "_mesh", None)
+        if mesh_info is not None:
+            from ..parallel.sharded_search import \
+                make_sharded_dense_search
+
+            mesh, axis_name = mesh_info
+            if self._search_fn is None or self._search_fn[0] != k:
+                fn = make_sharded_dense_search(
+                    mesh, k=k, num_rows=int(self.vector.shape[0]),
+                    axis_name=axis_name)
+                self._search_fn = (k, fn)
+            ids, scores = self._search_fn[1](q, self.vector)
+            return SearchResults(np.asarray(ids), np.asarray(scores))
         if self._search_fn is None:
             self._search_fn = jax.jit(
                 lambda q, vec, k: dense_topk_search(

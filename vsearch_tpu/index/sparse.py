@@ -152,6 +152,19 @@ class SparseIndex(DenseIndex):
             return len(self._lazy)
         return 0 if self.ell is None else self.ell.shape[0]
 
+    # -- distribution ------------------------------------------------------
+    def to_mesh(self, mesh, axis_name: str = "dp"):
+        """Row-shard the ELL across the mesh; searches switch to the
+        per-shard exact scorer + ICI top-k merge."""
+        from ..parallel.sharded_search import shard_ell
+
+        self._true_rows = self.ell.shape[0]
+        self.ell = shard_ell(mesh, self.ell, axis_name)
+        self._mesh = (mesh, axis_name)
+        self.sketch = None
+        self._search_fn = None
+        return self
+
     # -- search ------------------------------------------------------------
     def _use_sketch(self) -> bool:
         if self.search_mode == "exact":
@@ -182,7 +195,22 @@ class SparseIndex(DenseIndex):
             raise ValueError(
                 f"query dim {q.shape[-1]} != index dim {self.ell.num_cols}")
         n = self.ell.shape[0]
-        k = min(k, n)
+        k = min(k, getattr(self, "_true_rows", None) or n)
+        mesh_info = getattr(self, "_mesh", None)
+        if mesh_info is not None:
+            from ..ops.ell import ell_matvec_chunked
+            from ..parallel.sharded_search import make_sharded_ell_search
+
+            mesh, axis_name = mesh_info
+            if self._search_fn is None or self._search_fn[0] != ("m", k):
+                fn = make_sharded_ell_search(
+                    mesh, k=k, ell_template=self.ell,
+                    score_fn=lambda qq, shard: ell_matvec_chunked(
+                        qq, shard, chunk_rows=self.block_rows * 16),
+                    axis_name=axis_name)
+                self._search_fn = (("m", k), fn)
+            ids, scores = self._search_fn[1](q, self.ell)
+            return SearchResults(np.asarray(ids), np.asarray(scores))
         if self._use_sketch():
             if self.sketch is None:
                 self.build_sketch()
