@@ -127,9 +127,9 @@ def main():
         q[i, active] = rng.random(768).astype(np.float32)
 
     t0 = time.perf_counter()
-    if index._use_sketch():
-        index.build_sketch()
-        jax.block_until_ready(index.sketch)
+    if index._use_bitpack():
+        index.build_bitpack()
+        jax.block_until_ready(index.bitmat.words)
     sketch_s = time.perf_counter() - t0
 
     # warmup / compile, then measure pipelined (one sync at the end —
@@ -143,12 +143,15 @@ def main():
     t0 = time.perf_counter()
     last = None
     for qd in chunks:
-        if index._use_sketch():
+        if index._use_bitpack():
+            last = index._search_fn[1](qd, index.bitmat)
+        elif index._use_sketch():
             last = index._search_fn[1](qd, index.ell, index.sketch,
                                        index._projection)
         else:
             last = index._search_fn[1](qd, index.ell)
     jax.block_until_ready(last)
+    float(np.asarray(jax.tree_util.tree_leaves(last)[0])[0, 0])
     search_s = time.perf_counter() - t0
     nq = len(chunks) * args.query_batch
     qps = nq / search_s
@@ -207,8 +210,9 @@ def main():
         "tokenizer": tok_kind,
         "search_qps": round(qps, 1),
         "search_recall_vs_exact": round(float(recall), 4),
-        "search_mode": "sketch" if index._use_sketch() else "exact",
-        "sketch_build_s": round(sketch_s, 2),
+        "search_mode": ("bitpack" if index._use_bitpack() else
+                        "sketch" if index._use_sketch() else "exact"),
+        "pack_build_s": round(sketch_s, 2),
         "search_batch": args.query_batch,
         "search_k": args.topk,
         "index_rows": int(ell.shape[0]),
