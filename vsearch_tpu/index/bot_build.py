@@ -76,7 +76,8 @@ def build_bot_ell(tokenizer, texts: Sequence[str], max_len: int = 128,
                   shift: int = 999, batch_size: int = 1024,
                   max_token: Optional[int] = None,
                   num_workers: Optional[int] = None,
-                  vocab_size: Optional[int] = None):
+                  vocab_size: Optional[int] = None,
+                  return_host: bool = False):
     """Build a binary bag-of-token ELLMatrix from raw texts.
 
     Each row holds the first-``max_token`` unique token ids >= ``shift``
@@ -111,6 +112,9 @@ def build_bot_ell(tokenizer, texts: Sequence[str], max_len: int = 128,
         cols = np.concatenate([p[0] for p in parts])
         nnz = np.concatenate([p[1] for p in parts])
 
-    return ELLMatrix(cols=jnp.asarray(cols), nnz=jnp.asarray(nnz),
-                     vals=None, num_cols=vocab_size - shift,
-                     sentinel_padded=True)
+    ell = ELLMatrix(cols=jnp.asarray(cols), nnz=jnp.asarray(nnz),
+                    vals=None, num_cols=vocab_size - shift,
+                    sentinel_padded=True)
+    if return_host:
+        return ell, cols, nnz
+    return ell

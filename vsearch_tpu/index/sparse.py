@@ -301,12 +301,17 @@ class BoTIndex(SparseIndex):
     def build_bitpack(self):
         from ..ops.bitpack import pack_ell
 
-        self.bitmat = pack_ell(self.ell)
+        self.bitmat = pack_ell(self.ell,
+                               host_arrays=getattr(self, "_host_cache",
+                                                   None))
         return self.bitmat
 
-    def set_ell(self, ell):
+    def set_ell(self, ell, host_cache=None):
         super().set_ell(ell)
         self.bitmat = None
+        # (cols, nnz) numpy copies let bitpacking skip the
+        # device->host transfer
+        self._host_cache = host_cache
 
     def set_vectors(self, mat):
         super().set_vectors(mat)

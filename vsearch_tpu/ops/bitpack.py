@@ -92,20 +92,78 @@ class BitMatrix:
         return self.padded_bits // TILE_BITS
 
 
-def pack_ell(ell, nthreads: Optional[int] = None) -> BitMatrix:
-    """Pack a binary ELLMatrix into a BitMatrix (host-side, C++)."""
-    cols = np.ascontiguousarray(np.asarray(ell.cols), dtype=np.int32)
-    nnz = np.ascontiguousarray(np.asarray(ell.nnz), dtype=np.int32)
+def pack_ell_host(cols: np.ndarray, nnz: np.ndarray, num_cols: int
+                  ) -> BitMatrix:
+    """Pack host ELL arrays into a BitMatrix (C++, threaded)."""
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    nnz = np.ascontiguousarray(nnz, dtype=np.int32)
+    n, nnz_pad = cols.shape
+    vp = _round_up(num_cols, TILE_BITS)
+    num_words = vp // 32
+    n_pad = _round_up(max(n, 1), ROW_BLOCK)
+    out = np.zeros((n_pad, num_words), dtype=np.uint32)
+    nthreads = min(os.cpu_count() or 1, 16)
+    _lib().bitpack_ell(cols, nnz.ctypes.data, n, nnz_pad, num_cols,
+                       num_words, out, nthreads)
+    return BitMatrix(words=jnp.asarray(out), num_rows=n,
+                     num_cols=num_cols)
+
+
+def pack_ell_device(ell) -> BitMatrix:
+    """Pack on-device (no host round trip — device<->host transfers can
+    dwarf the pack itself). Scatter-adds of distinct bit values per row
+    are exact because column ids are unique within a row."""
+    cols = ell.cols
     n, nnz_pad = cols.shape
     v = ell.num_cols
     vp = _round_up(v, TILE_BITS)
     num_words = vp // 32
     n_pad = _round_up(max(n, 1), ROW_BLOCK)
-    out = np.zeros((n_pad, num_words), dtype=np.uint32)
-    nthreads = nthreads or min(os.cpu_count() or 1, 16)
-    _lib().bitpack_ell(cols, nnz.ctypes.data, n, nnz_pad, v, num_words,
-                       out, nthreads)
-    return BitMatrix(words=jnp.asarray(out), num_rows=n, num_cols=v)
+
+    @jax.jit
+    def pack(cols, nnz):
+        valid_col = jnp.arange(nnz_pad)[None, :] < nnz[:, None]
+        word_ids = jnp.arange(num_words, dtype=jnp.int32)
+
+        def body(j, words):
+            # TPU scatter is slow; a broadcast-compare OR against the
+            # word-id lane vector is bandwidth-bound instead
+            c = cols[:, j]
+            ok = (c >= 0) & (c < v) & valid_col[:, j]
+            word = jnp.where(ok, (c // TILE_BITS) * LANES + (c % LANES),
+                             -1)
+            bitv = (jnp.uint32(1)
+                    << ((c % TILE_BITS) // LANES).astype(jnp.uint32))
+            hit = word[:, None] == word_ids[None, :]  # [N, num_words]
+            contrib = jnp.where(hit, bitv[:, None], jnp.uint32(0))
+            return words.at[:n].set(words[:n] | contrib)
+
+        words = jnp.zeros((n_pad, num_words), dtype=jnp.uint32)
+        return jax.lax.fori_loop(0, nnz_pad, body, words)
+
+    return BitMatrix(words=pack(cols, ell.nnz), num_rows=n, num_cols=v)
+
+
+def pack_ell(ell, nthreads: Optional[int] = None,
+             host_arrays: Optional[Tuple[np.ndarray, np.ndarray]] = None
+             ) -> BitMatrix:
+    """Pack a binary ELLMatrix into a BitMatrix.
+
+    When the ELL already lives on device, packing runs there (scatter
+    loop) — uploading a freshly host-packed bit matrix costs ~8x the
+    ELL's own bytes in host->device traffic. The C++ host packer is used
+    for numpy-resident matrices.
+    """
+    if isinstance(ell.cols, np.ndarray):
+        return pack_ell_host(ell.cols, np.asarray(ell.nnz), ell.num_cols)
+    try:
+        return pack_ell_device(ell)
+    except Exception:
+        if host_arrays is not None:
+            return pack_ell_host(host_arrays[0], host_arrays[1],
+                                 ell.num_cols)
+        return pack_ell_host(np.asarray(ell.cols), np.asarray(ell.nnz),
+                             ell.num_cols)
 
 
 def pack_dense(dense: np.ndarray) -> BitMatrix:
@@ -178,9 +236,18 @@ def bitpack_scores(q: jax.Array, bitmat: BitMatrix,
 
 
 def bitpack_topk_search(q: jax.Array, bitmat: BitMatrix, k: int,
-                        interpret: Optional[bool] = None
+                        interpret: Optional[bool] = None,
+                        approx: bool = False,
+                        recall_target: float = 0.97
                         ) -> Tuple[jax.Array, jax.Array]:
-    """(ids, scores) [B, k] — kernel scoring + top-k, one XLA program."""
+    """(ids, scores) [B, k] — kernel scoring + top-k, one XLA program.
+
+    ``approx=True`` swaps exact top-k for TPU-native ``approx_max_k``
+    (~2x faster selection at the given recall target)."""
     scores = bitpack_scores(q, bitmat, interpret=interpret)
-    s, i = jax.lax.top_k(scores, k)
+    if approx and jax.default_backend() == "tpu":
+        s, i = jax.lax.approx_max_k(scores, k,
+                                    recall_target=recall_target)
+    else:
+        s, i = jax.lax.top_k(scores, k)
     return i, s

@@ -154,7 +154,8 @@ class Retriever(BiEncoder):
         return build_bot_ell(tokenizer, list(texts), max_len=max_len,
                              shift=shift, batch_size=batch_size,
                              max_token=max_token,
-                             vocab_size=tokenizer.vocab_size)
+                             vocab_size=tokenizer.vocab_size,
+                             return_host=True)
 
     def _build_embedding_vectors(self, texts: Sequence[str],
                                  batch_size: int = 32,
@@ -184,9 +185,9 @@ class Retriever(BiEncoder):
                                                val_dtype=np.float32))
         elif index_type == IndexType.BAG_OF_TOKEN:
             index = BoTIndex()
-            index.set_ell(self._build_bot_ell(
-                texts, batch_size=batch_size,
-                max_len=max_len or 128))
+            ell, cols_np, nnz_np = self._build_bot_ell(
+                texts, batch_size=batch_size, max_len=max_len or 128)
+            index.set_ell(ell, host_cache=(cols_np, nnz_np))
         else:
             raise NotImplementedError(index_type)
         index.data = texts

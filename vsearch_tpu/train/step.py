@@ -127,10 +127,17 @@ def make_train_step(apply_q: Callable, apply_p: Callable,
     return jax.jit(step_fn, donate_argnums=0)
 
 
-def make_encoder_apply(module, deterministic: bool = False) -> Callable:
+def make_encoder_apply(module, deterministic: bool = False,
+                       remat: bool = False) -> Callable:
     """Wrap a flax encoder module into the (params, ids, rng) -> emb
     signature used by the train step. Attention mask and token types are
-    derived on-device (ids != 0, zeros — reference loss_utils.py:38-41)."""
+    derived on-device (ids != 0, zeros — reference loss_utils.py:38-41).
+
+    ``remat=True`` rematerializes the forward in the backward pass
+    (jax.checkpoint) — the VDR head's [B, L, V'] projection logits are
+    the dominant training activation (~1 GB at B=32, L=256), so remat
+    trades one extra forward for that memory.
+    """
 
     def apply(params, ids, rng):
         ttype = jnp.zeros_like(ids)
@@ -141,4 +148,6 @@ def make_encoder_apply(module, deterministic: bool = False) -> Callable:
         return module.apply({"params": params}, ids, ttype, mask,
                             deterministic=deterministic, **kwargs)
 
+    if remat:
+        return jax.checkpoint(apply)
     return apply

@@ -62,6 +62,8 @@ class TrainConfig:
     cts_mask: bool = False
     cts_mask_weight: float = 1.0
     cts_mask_norm: bool = False
+    # memory
+    remat: bool = False  # rematerialize encoder fwd in backward
     # logging / bookkeeping
     log_batch_step: int = 100
     train_rolling_loss_step: int = 100
@@ -113,9 +115,11 @@ class RetrieverTrainer:
             norm_bow=getattr(enc_q.config, "norm", False),
             loss=loss_cfg)
         self._apply_q = make_encoder_apply(enc_q.module,
-                                           deterministic=False)
+                                           deterministic=False,
+                                           remat=train_cfg.remat)
         self._apply_p = make_encoder_apply(enc_p.module,
-                                           deterministic=False)
+                                           deterministic=False,
+                                           remat=train_cfg.remat)
         self.state: Optional[TrainState] = None
         self._step_fn = None
 
