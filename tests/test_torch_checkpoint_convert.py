@@ -1,0 +1,114 @@
+"""Conversion of reference-style torch checkpoint dirs into live models.
+
+Builds a tiny torch BiEncoder checkpoint exactly the way the reference
+saves them (HF save_pretrained layout: config.json + pytorch_model.bin
+with encoder_q./encoder_p. prefixed keys) and verifies our converted
+model reproduces the torch scores."""
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tests.helpers import make_tokenizer
+from vsearch_tpu.retriever import Retriever
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def torch_ckpt_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("torch_ckpt")
+    tok = make_tokenizer()
+    vs = tok.vocab_size
+    hf_cfg = transformers.BertConfig(
+        vocab_size=vs, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=96,
+        max_position_embeddings=64)
+
+    class TorchVDR(torch.nn.Module):
+        """Reference-shaped VDR encoder (bert_model + ln)."""
+
+        def __init__(self, seed):
+            super().__init__()
+            torch.manual_seed(seed)
+            self.bert_model = transformers.BertModel(
+                hf_cfg, add_pooling_layer=False)
+            self.ln = torch.nn.LayerNorm(48)
+            with torch.no_grad():
+                self.ln.weight.uniform_(0.8, 1.2)
+                self.ln.bias.uniform_(-0.1, 0.1)
+
+        def forward(self, ids, ttype, mask, shift):
+            out = self.bert_model(input_ids=ids, token_type_ids=ttype,
+                                  attention_mask=mask).last_hidden_state
+            out = self.ln(out)
+            w = self.bert_model.embeddings.word_embeddings.weight[shift:]
+            v = torch.nn.functional.elu(out @ w.t()) + 1
+            return v.max(1)[0]
+
+    q_enc, p_enc = TorchVDR(0).eval(), TorchVDR(1).eval()
+    sd = {}
+    for name, mod in (("encoder_q", q_enc), ("encoder_p", p_enc)):
+        for k, v in mod.state_dict().items():
+            sd[f"{name}.{k}"] = v
+    torch.save(sd, d / "pytorch_model.bin")
+
+    shift = 7
+    enc_cfg = {"type": "vdr", "max_len": 32, "topk": 16,
+               "shift_vocab_num": shift, "vocab_size": vs,
+               "hidden_size": 48, "num_hidden_layers": 2,
+               "num_attention_heads": 4, "intermediate_size": 96,
+               "max_position_embeddings": 64}
+    with open(d / "config.json", "w") as f:
+        json.dump({"encoder_q": enc_cfg, "encoder_p": dict(enc_cfg),
+                   "shared_encoder": False, "max_len": 64}, f)
+    # checkpoint-local vocab (self-contained load)
+    ordered = sorted(tok.vocab.items(), key=lambda kv: kv[1])
+    (d / "vocab.txt").write_text(
+        "\n".join(t for t, _ in ordered) + "\n")
+    return d, q_enc, p_enc, shift, tok
+
+
+def test_convert_and_score_parity(torch_ckpt_dir, rng):
+    d, q_enc, p_enc, shift, tok = torch_ckpt_dir
+    ir = Retriever.from_pretrained(str(d))
+
+    ids = rng.integers(10, tok.vocab_size, size=(2, 9)).astype(np.int64)
+    ttype = np.zeros_like(ids)
+    mask = np.ones_like(ids)
+    with torch.no_grad():
+        expect_q = q_enc(torch.tensor(ids), torch.tensor(ttype),
+                         torch.tensor(mask), shift).numpy()
+        expect_p = p_enc(torch.tensor(ids), torch.tensor(ttype),
+                         torch.tensor(mask), shift).numpy()
+    ours_q = np.asarray(ir.encoder_q.module.apply(
+        ir.encoder_q.variables, jnp.asarray(ids), jnp.asarray(ttype),
+        jnp.asarray(mask)))
+    ours_p = np.asarray(ir.encoder_p.module.apply(
+        ir.encoder_p.variables, jnp.asarray(ids), jnp.asarray(ttype),
+        jnp.asarray(mask)))
+    np.testing.assert_allclose(ours_q, expect_q, rtol=2e-3, atol=1e-3)
+    np.testing.assert_allclose(ours_p, expect_p, rtol=2e-3, atol=1e-3)
+    # the two towers differ (separate seeds survived conversion)
+    assert not np.allclose(ours_q, ours_p, atol=1e-2)
+
+
+def test_converted_model_end_to_end(torch_ckpt_dir):
+    d, *_ = torch_ckpt_dir
+    ir = Retriever.from_pretrained(str(d))
+    ir.build_index(["green tea drink", "red planet mars",
+                    "einstein theory"], index_type="sparse",
+                   batch_size=2)
+    res = ir.retrieve(["green tea"], k=2)
+    assert np.asarray(res.ids).shape == (1, 2)
+
+    # converted model re-saves as native and round-trips
+    native = str(d) + "_native"
+    ir.save_pretrained(native)
+    ir2 = Retriever.from_pretrained(native)
+    e1 = ir.encoder_q.embed(["green tea"])
+    e2 = ir2.encoder_q.embed(["green tea"])
+    np.testing.assert_allclose(e1, e2, rtol=1e-5, atol=1e-6)

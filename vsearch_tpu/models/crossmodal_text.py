@@ -80,9 +80,13 @@ class VDRTextModule(nn.Module):
         h = self.ln(h)
         proj = self.word_embeddings.embedding[
             jnp.asarray(cfg.valid_ids)]  # [V_valid, H]
+        precision = (jax.lax.Precision.HIGHEST
+                     if cfg.bert.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
         logits = jax.lax.dot_general(
             h, proj, (((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [B, L, V_valid]
+            preferred_element_type=jnp.float32,
+            precision=precision)  # [B, L, V_valid]
         valid = attention_mask[:, :, None].astype(jnp.bool_)
         neg = jnp.asarray(-jnp.inf, dtype=logits.dtype)
         pooled = jnp.where(valid, logits, neg).max(axis=1)

@@ -89,10 +89,16 @@ class VDRModule(nn.Module):
                       deterministic=deterministic)
         h = self.ln(h)
         proj = self.word_embeddings.embedding[cfg.shift_vocab_num:]  # [V', H]
+        # f32 weights -> full precision (parity with the reference's
+        # golden scores); bf16 weights already run native MXU passes
+        precision = (jax.lax.Precision.HIGHEST
+                     if cfg.bert.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
         logits = jax.lax.dot_general(
             h, proj,
             dimension_numbers=(((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=precision,
         )  # [B, L, V']
         valid = attention_mask[:, :, None].astype(jnp.bool_)
         if cfg.pooling == "max":
