@@ -197,6 +197,63 @@ class VDREncoder(TextEncoderBase):
             make = lambda L: self._make_embed_fn(topk, activate_lexical)
         return self._run_batches(texts, batch_size, max_len, key, make)
 
+    def embed_sparse(self, texts: Union[str, List[str]],
+                     batch_size: int = 128,
+                     max_len: Optional[int] = None,
+                     topk: Optional[int] = None,
+                     activate_lexical: bool = False
+                     ) -> "tuple[np.ndarray, np.ndarray]":
+        """Embed directly into compact sparse form: (cols [N, k] int32
+        sentinel-padded, vals [N, k] f32).
+
+        The dense [N, V] never leaves the device — for corpus indexing
+        this is ~40x less host memory and device->host traffic than
+        ``embed`` + host sparsification. k is ``topk`` rounded up to the
+        lexical-union bound when ``activate_lexical``.
+        """
+        if isinstance(texts, str):
+            texts = [texts]
+        max_len = max_len or self.config.max_len
+        topk = topk or self.config.topk
+        cfg = self.config
+        k_out = min(topk + (max_len if activate_lexical else 0),
+                    cfg.out_dim)
+
+        def make(L):
+            def fn(variables, ids, ttype, mask):
+                emb = self.module.apply(variables, ids, ttype, mask)
+                if activate_lexical:
+                    bow = build_bow_mask(ids, vocab_size=cfg.vocab_size,
+                                         shift_num=cfg.shift_vocab_num)
+                    tk = build_topk_mask(emb, k=topk)
+                    emb = emb * jnp.logical_or(tk, bow > 0)
+                    vals, cols = jax.lax.top_k(emb, k_out)
+                else:
+                    vals, cols = jax.lax.top_k(emb, k_out)
+                # zero entries -> sentinel column (mask-free scoring)
+                cols = jnp.where(vals > 0, cols, cfg.out_dim)
+                vals = jnp.where(vals > 0, vals, 0.0)
+                return cols.astype(jnp.int32), vals
+
+            return jax.jit(fn)
+
+        outs_c, outs_v = [], []
+        for start in range(0, len(texts), batch_size):
+            chunk = texts[start: start + batch_size]
+            enc = self.encode(chunk, max_len=max_len)
+            enc = self._pad_batch(enc, batch_size)
+            key = ("emb_sparse", topk, activate_lexical,
+                   enc["input_ids"].shape[1], batch_size)
+            if key not in self._fn_cache:
+                self._fn_cache[key] = make(enc["input_ids"].shape[1])
+            c, v = self._fn_cache[key](
+                self.variables, jnp.asarray(enc["input_ids"]),
+                jnp.asarray(enc["token_type_ids"]),
+                jnp.asarray(enc["attention_mask"]))
+            outs_c.append(np.asarray(c[: len(chunk)]))
+            outs_v.append(np.asarray(v[: len(chunk)]))
+        return np.concatenate(outs_c), np.concatenate(outs_v)
+
     def disentangle(self, text: str, topk: int = 768, visual: bool = False,
                     save_file: Optional[str] = None) -> Dict[str, float]:
         """Top-k (token -> weight) interpretation of an embedding

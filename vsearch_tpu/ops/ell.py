@@ -178,6 +178,24 @@ class ELLMatrix:
         )
 
 
+def ell_from_topk(cols: np.ndarray, vals: np.ndarray, num_cols: int,
+                  pad_multiple: int = 128) -> ELLMatrix:
+    """Build an ELLMatrix from device top-k output (cols sentinel-padded
+    with ``num_cols`` where vals == 0). Pads the nnz axis to lane width."""
+    cols = np.asarray(cols, dtype=np.int32)
+    vals = np.asarray(vals, dtype=np.float32)
+    n, k = cols.shape
+    nnz = (vals > 0).sum(axis=1).astype(np.int32)
+    k_pad = _round_up(max(k, 1), pad_multiple)
+    if k_pad != k:
+        cols = np.pad(cols, ((0, 0), (0, k_pad - k)),
+                      constant_values=num_cols)
+        vals = np.pad(vals, ((0, 0), (0, k_pad - k)))
+    return ELLMatrix(cols=jnp.asarray(cols), nnz=jnp.asarray(nnz),
+                     vals=jnp.asarray(vals), num_cols=num_cols,
+                     sentinel_padded=True)
+
+
 def ell_row_block_scores(q: jax.Array, cols: jax.Array, nnz: jax.Array,
                          vals: Optional[jax.Array]) -> jax.Array:
     """Score a dense query batch against one block of ELL rows.

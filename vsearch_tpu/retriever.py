@@ -179,10 +179,19 @@ class Retriever(BiEncoder):
                 texts, batch_size=batch_size, max_len=max_len))
         elif index_type == IndexType.SPARSE:
             index = SparseIndex()
-            dense = self._build_embedding_vectors(
-                texts, batch_size=batch_size, max_len=max_len)
-            index.set_ell(ELLMatrix.from_dense(dense,
-                                               val_dtype=np.float32))
+            if hasattr(self.encoder_p, "embed_sparse"):
+                # fused device path: topk happens on-device and only the
+                # compact (cols, vals) cross the host boundary
+                cols, vals = self.encoder_p.embed_sparse(
+                    texts, batch_size=batch_size, max_len=max_len)
+                from .ops.ell import ell_from_topk
+                index.set_ell(ell_from_topk(
+                    cols, vals, self.encoder_p.config.out_dim))
+            else:
+                dense = self._build_embedding_vectors(
+                    texts, batch_size=batch_size, max_len=max_len)
+                index.set_ell(ELLMatrix.from_dense(dense,
+                                                   val_dtype=np.float32))
         elif index_type == IndexType.BAG_OF_TOKEN:
             index = BoTIndex()
             ell, cols_np, nnz_np = self._build_bot_ell(
