@@ -52,13 +52,22 @@ class BiEncoderDataset:
         self.data: List[BiEncoderSample] = []
 
     def load_data(self, require_positive: bool = True,
-                  require_hard_negative: bool = True):
+                  require_hard_negative: bool = True,
+                  start_pos: Optional[int] = None,
+                  end_pos: Optional[int] = None):
+        """Load (optionally only lines [start_pos, end_pos) — the
+        local-shard mode used by LocalShardedDataIterator, reference
+        ddp_iterators.py:132-137)."""
         if not self.file.endswith("jsonl"):
             raise NotImplementedError(
                 f"only jsonl datasets supported, got {self.file}")
         self.data = []
         with open(self.file, "r", encoding="utf-8") as f:
-            for line in f:
+            for lineno, line in enumerate(f):
+                if start_pos is not None and lineno < start_pos:
+                    continue
+                if end_pos is not None and lineno >= end_pos:
+                    break
                 sample = json.loads(line)
                 if require_positive and not sample.get("positive_ctxs"):
                     continue
