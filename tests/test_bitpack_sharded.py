@@ -1,0 +1,45 @@
+"""Sharded bit-packed BoT search on the 8-device CPU mesh (Pallas kernel
+in interpret mode inside shard_map)."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+
+from vsearch_tpu.index import BoTIndex
+from vsearch_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(dp=8, tp=1)
+
+
+def test_sharded_bitpack_matches_single(mesh, rng):
+    mat = sp.random(300, 200, density=0.12, format="csr",
+                    dtype=np.float32,
+                    random_state=np.random.RandomState(41))
+    mat.data[:] = 1.0
+    q = np.abs(rng.normal(size=(3, 200))).astype(np.float32)
+
+    single = BoTIndex(search_mode="bitpack")
+    single.set_vectors(mat)
+    res1 = single.search(q, k=6)
+
+    sharded = BoTIndex(search_mode="bitpack")
+    sharded.set_vectors(mat)
+    sharded.to_mesh(mesh)
+    assert sharded.bitmat.words.shape[0] % 8 == 0
+    res2 = sharded.search(q, k=6)
+
+    exact = q @ mat.toarray().T
+    for i in range(3):
+        # both paths must return the exact top-6 scores (ids may differ
+        # under ties)
+        np.testing.assert_allclose(
+            np.sort(res2.scores[i])[::-1],
+            np.sort(exact[i])[::-1][:6], rtol=5e-3, atol=0.05)
+        np.testing.assert_allclose(res1.scores[i], res2.scores[i],
+                                   rtol=5e-3, atol=0.05)
+        # returned ids must be valid rows
+        assert (res2.ids[i] < 300).all() and (res2.ids[i] >= 0).all()

@@ -317,10 +317,29 @@ class BoTIndex(SparseIndex):
         super().set_vectors(mat)
         self.bitmat = None
 
+    def to_mesh(self, mesh, axis_name: str = "dp"):
+        """Row-shard over the mesh. The bit-packed scorer shards too, so
+        sharded BoT search keeps the Pallas MXU path per shard."""
+        if self._use_bitpack():
+            from ..ops.bitpack import pack_ell
+            from ..parallel.sharded_search import shard_bitmat
+
+            if self.bitmat is None:
+                self.bitmat = pack_ell(
+                    self.ell, host_arrays=getattr(self, "_host_cache",
+                                                  None))
+            self._true_rows = self.ell.shape[0]
+            self.bitmat = shard_bitmat(mesh, self.bitmat, axis_name)
+            self._mesh = (mesh, axis_name)
+            self._search_fn = None
+            return self
+        return super().to_mesh(mesh, axis_name)
+
     def search(self, q_embs, k: int,
                num_candidates=None) -> SearchResults:
         mesh_info = getattr(self, "_mesh", None)
-        if mesh_info is not None or not self._use_bitpack():
+        if not self._use_bitpack() or (
+                mesh_info is not None and self.bitmat is None):
             return super().search(q_embs, k,
                                   num_candidates=num_candidates)
         from ..ops.bitpack import bitpack_topk_search
@@ -329,6 +348,18 @@ class BoTIndex(SparseIndex):
             self.build_bitpack()
         q = jnp.asarray(np.asarray(q_embs), dtype=jnp.float32)
         k = min(k, self.ell.shape[0])
+        if mesh_info is not None:
+            from ..parallel.sharded_search import \
+                make_sharded_bitpack_search
+
+            mesh, axis_name = mesh_info
+            key = ("bm", k)
+            if self._search_fn is None or self._search_fn[0] != key:
+                fn = make_sharded_bitpack_search(mesh, k, self.bitmat,
+                                                 axis_name)
+                self._search_fn = (key, fn)
+            ids, scores = self._search_fn[1](q, self.bitmat)
+            return SearchResults(np.asarray(ids), np.asarray(scores))
         key = ("b", k)
         if self._search_fn is None or self._search_fn[0] != key:
             fn = jax.jit(lambda q, bm: bitpack_topk_search(q, bm, k=k))

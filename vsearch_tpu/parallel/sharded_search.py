@@ -88,6 +88,62 @@ def make_sharded_dense_search(mesh: Mesh, k: int, num_rows: int,
     return jax.jit(fn)
 
 
+def shard_bitmat(mesh: Mesh, bitmat, axis_name: str = "dp"):
+    """Row-shard a BitMatrix over the mesh (rows already padded to the
+    kernel row-block; pad further to the shard count with zero rows)."""
+    from ..ops.bitpack import ROW_BLOCK, BitMatrix
+
+    shards = mesh.shape[axis_name]
+    words = bitmat.words
+    n_pad = words.shape[0]
+    # each shard must hold a whole number of kernel row-blocks
+    target = -(-n_pad // (shards * ROW_BLOCK)) * shards * ROW_BLOCK
+    if target != n_pad:
+        words = jnp.pad(words, ((0, target - n_pad), (0, 0)))
+    sh = NamedSharding(mesh, P(axis_name, None))
+    return BitMatrix(words=jax.device_put(words, sh),
+                     num_rows=bitmat.num_rows, num_cols=bitmat.num_cols)
+
+
+def make_sharded_bitpack_search(mesh: Mesh, k: int, bitmat,
+                                axis_name: str = "dp",
+                                interpret=None):
+    """Sharded bit-packed binary search: per-shard Pallas MXU scoring +
+    local top-k + ICI merge. ``bitmat`` must be sharded via
+    ``shard_bitmat``."""
+    from ..ops.bitpack import BitMatrix, bitpack_scores
+
+    shards = mesh.shape[axis_name]
+    n_pad = bitmat.words.shape[0]
+    rows_per = n_pad // shards
+    k_local = min(k, rows_per)
+    num_cols = bitmat.num_cols
+
+    def local(q, words):
+        shard = BitMatrix(words=words, num_rows=rows_per,
+                          num_cols=num_cols)
+        scores = bitpack_scores(q, shard, interpret=interpret)
+        # padding rows (zero bits) score 0; real scores >= 0 too, so mask
+        # out-of-range ids after the merge instead: here offset ids
+        s, i = jax.lax.top_k(scores, k_local)
+        i = i + jax.lax.axis_index(axis_name) * rows_per
+        all_ids = jax.lax.all_gather(i, axis_name)
+        all_scores = jax.lax.all_gather(s, axis_name)
+        ids, sc = merge_shard_topk(all_ids, all_scores, k)
+        # demote padding rows (id >= num_rows) below any real score
+        valid = ids < bitmat.num_rows
+        sc = jnp.where(valid, sc, -jnp.inf)
+        order = jnp.argsort(-sc, axis=1)
+        return (jnp.take_along_axis(ids, order, axis=1),
+                jnp.take_along_axis(sc, order, axis=1))
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis_name, None)),
+        out_specs=(P(), P()), check_vma=False)
+    return jax.jit(lambda q, bm: fn(q, bm.words))
+
+
 def make_sharded_ell_search(mesh: Mesh, k: int,
                             ell_template: ELLMatrix, score_fn,
                             axis_name: str = "dp"):
