@@ -89,35 +89,70 @@ class VDRModule(nn.Module):
                       deterministic=deterministic)
         h = self.ln(h)
         proj = self.word_embeddings.embedding[cfg.shift_vocab_num:]  # [V', H]
+        v_out = proj.shape[0]
+        # pad the vocab axis to a lane multiple: XLA's schedules for
+        # unaligned-N matmuls on this target range from 50x to 500x
+        # slower (measured: [1024,768]@[768,29523] = 18.8 s vs 29568 =
+        # 45 ms); padded rows are zero and sliced off after pooling
+        v_pad = (-v_out) % 128
+        if v_pad:
+            proj = jnp.pad(proj, ((0, v_pad), (0, 0)))
         # f32 weights -> full precision (parity with the reference's
         # golden scores); bf16 weights already run native MXU passes
         precision = (jax.lax.Precision.HIGHEST
                      if cfg.bert.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
-        logits = jax.lax.dot_general(
-            h, proj,
-            dimension_numbers=(((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )  # [B, L, V']
-        valid = attention_mask[:, :, None].astype(jnp.bool_)
+
+        def project(hx):
+            return jax.lax.dot_general(
+                hx, proj,
+                dimension_numbers=(((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)
+
+        valid = attention_mask.astype(jnp.bool_)
         if cfg.pooling == "max":
-            neg = jnp.asarray(-jnp.inf, dtype=logits.dtype)
-            pooled = jnp.where(valid, logits, neg).max(axis=1)
+            # elu1p commutes with max; pool raw logits via an L-chunked
+            # scan with a running max — the [B, L, V'] logits tensor
+            # never materializes (~1 GB at B=32, L=256). Chunks sized so
+            # the matmul M-dim is >= 4096 rows (the MXU-efficient
+            # regime on this target).
+            b, l, _ = h.shape
+            want = max(1, -(-4096 // b))
+            ch = next((c for c in (64, 32, 16, 8, 4, 2)
+                       if l % c == 0 and c >= want), None)
+            if ch is None:
+                ch = next((c for c in (64, 32, 16, 8, 4, 2)
+                           if l % c == 0), 1)
+            hc = jnp.moveaxis(h.reshape(b, l // ch, ch, -1), 1, 0)
+            mc = jnp.moveaxis(valid.reshape(b, l // ch, ch), 1, 0)
+
+            def body(carry, xs):
+                hx, mx = xs  # [B, ch, H], [B, ch]
+                lg = project(hx)
+                lg = jnp.where(mx[:, :, None], lg, -jnp.inf).max(axis=1)
+                return jnp.maximum(carry, lg), None
+
+            pooled, _ = jax.lax.scan(
+                body, jnp.full((b, proj.shape[0]), -jnp.inf,
+                               jnp.float32), (hc, mc))
             emb = elu1p(pooled)
         elif cfg.pooling == "mean":
-            acts = elu1p(logits) * valid.astype(logits.dtype)
+            logits = project(h)  # [B, L, V']
+            validb = valid[:, :, None]
+            acts = elu1p(logits) * validb.astype(logits.dtype)
             if cfg.pooling_topk:
                 # top-k over the sequence axis per vocab dim
                 acts_t = jnp.swapaxes(acts, 1, 2)  # [B, V', L]
                 top, _ = jax.lax.top_k(acts_t, cfg.pooling_topk)
                 emb = top.mean(axis=-1)
             else:
-                denom = jnp.maximum(valid.astype(logits.dtype).sum(axis=1),
-                                    1.0)
+                denom = jnp.maximum(
+                    validb.astype(logits.dtype).sum(axis=1), 1.0)
                 emb = acts.sum(axis=1) / denom
         else:
             raise NotImplementedError(cfg.pooling)
+        emb = emb[:, :v_out]  # drop alignment padding dims
         if cfg.norm:
             emb = emb / jnp.maximum(
                 jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
