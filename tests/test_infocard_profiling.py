@@ -1,0 +1,63 @@
+"""InfoCard rendering + profiling utility tests."""
+import time
+
+import numpy as np
+import pytest
+
+from tests.helpers import make_tokenizer
+from vsearch_tpu.train.info_card import InfoCard
+from vsearch_tpu.utils.profiling import StepTimer, device_memory_stats
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return make_tokenizer()
+
+
+def test_infocard_full_render(tok, rng):
+    card = InfoCard(tokenizer=tok, shift_vocab_num=5, width=80)
+    v = tok.vocab_size - 5
+    q = np.abs(rng.normal(size=(4, v))).astype(np.float32)
+    q[q < 1.0] = 0.0
+    p = np.abs(rng.normal(size=(4, v))).astype(np.float32)
+    card.add_stat_info(q, title=" q_emb ")
+    card.add_stat_info(p, title=" p_emb ")
+    card.add_texts_info(["what is green tea", "green tea is a drink"],
+                        descs=["[Q_TEXT]", "[P_TEXT1]"],
+                        title=" EXAMPLE ")
+    card.add_interaction_info(q[0], p[0], p[1], k=5)
+    card.wrap_info()
+    info = card.info
+    assert " q_emb " in info and "[Q_TEXT]" in info
+    assert "gate:" in info and "mean:" in info
+    assert "V(q) * V(p)" in info
+    # every line is wrapped in the ### frame
+    lines = [l for l in info.split("\n") if l.strip()]
+    assert all(l.startswith("###") for l in lines[1:-1])
+
+
+def test_infocard_stats_math(tok):
+    card = InfoCard(tokenizer=tok, width=80)
+    embs = np.array([[2.0, 0.0, 4.0], [0.0, 6.0, 0.0]], np.float32)
+    card.add_stat_info(embs, title=" t ")
+    # gate = mean nonzero count = (2 + 1)/2 = 1.5
+    assert "gate:   1.5/3" in card.info
+    # mean of per-row nonzero means = (3 + 6)/2 = 4.5
+    assert "mean: 4.50" in card.info
+
+
+def test_step_timer():
+    t = StepTimer(window=10)
+    for _ in range(5):
+        with t.step(items=4):
+            time.sleep(0.002)
+    s = t.summary()
+    assert s["steps"] == 5
+    assert s["mean_s"] >= 0.002
+    assert s["items_per_s"] > 0
+    assert s["p50_s"] <= s["p99_s"] + 1e-9
+
+
+def test_device_memory_stats():
+    stats = device_memory_stats()
+    assert len(stats) == 8  # virtual cpu devices
