@@ -92,9 +92,9 @@ def get_bench_tokenizer():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-passages", type=int, default=200_000)
-    ap.add_argument("--num-queries", type=int, default=256)
+    ap.add_argument("--num-queries", type=int, default=1024)
     ap.add_argument("--batch-size", type=int, default=32)
-    ap.add_argument("--query-batch", type=int, default=32)
+    ap.add_argument("--query-batch", type=int, default=128)
     ap.add_argument("--topk", type=int, default=100)
     ap.add_argument("--skip-embed-bench", action="store_true")
     args = ap.parse_args()
