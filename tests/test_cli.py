@@ -135,3 +135,34 @@ def test_eval_accuracy_computation():
     qa = [("who", ["einstein"])]
     acc = evaluate(results, texts, qa, topk_levels=(1, 2, 3))
     assert acc[1] == 0.0 and acc[2] == 1.0 and acc[3] == 1.0
+
+
+def test_eval_beir_cli(workdir):
+    import json as _json
+
+    from vsearch_tpu.cli.score.eval_beir import main as beir
+
+    d = workdir
+    (d / "beir_corpus.jsonl").write_text("\n".join(
+        _json.dumps({"_id": f"d{i}", "title": r["title"],
+                     "text": r["text"]})
+        for i, r in enumerate(CORPUS)) + "\n")
+    (d / "beir_queries.jsonl").write_text("\n".join(
+        _json.dumps({"_id": f"q{i}", "text": q})
+        for i, q in enumerate(QUERIES)) + "\n")
+    (d / "qrels.tsv").write_text(
+        "query-id\tcorpus-id\tscore\nq0\td2\t1\nq1\td0\t1\n")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        beir(["--checkpoint", str(d / "ckpt"),
+              "--corpus_file", str(d / "beir_corpus.jsonl"),
+              "--query_file", str(d / "beir_queries.jsonl"),
+              "--qrels_file", str(d / "qrels.tsv"),
+              "--topk", "3", "--ks", "1,3"])
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert set(out) == {"ndcg@1", "ndcg@3", "recall@1", "recall@3",
+                        "mrr@1", "mrr@3"}
+    assert all(0.0 <= v <= 1.0 for v in out.values())

@@ -1,11 +1,13 @@
 """Sparse (ELL) and bag-of-token indexes.
 
 TPU-native rebuild of the reference's ``SparseIndex``/``BoTIndex``
-(reference: src/ir/retriever/index.py:128-218). The scipy/torch CSR of the
-reference becomes a static-shape ELL pytree scored by a gather-reduce
-(XLA path today, Pallas kernel in ``ops.pallas_ell``); on-disk format stays
-scipy-``.npz``-compatible so indexes interoperate with the reference, with
-a faster native ``.ell.npz`` layout alongside.
+(reference: src/ir/retriever/index.py:128-218). The scipy/torch CSR of
+the reference becomes a static-shape ELL pytree. Scoring paths: exact
+chunked gather (small indexes), MXU sketch + exact rerank (large
+real-valued), bit-packed Pallas MXU kernel (large binary / bag-of-token,
+``ops.bitpack``). On-disk format stays scipy-``.npz``-compatible so
+indexes interoperate with the reference, with a faster native
+``.ell.npz`` layout alongside.
 """
 from __future__ import annotations
 
