@@ -90,3 +90,20 @@ def test_sparse_index_sketch_mode(ell_and_q):
     res2 = idx2.search(q, k=5)
     # sketch+rerank with wide candidates matches exact top-1
     assert (res.ids[:, 0] == res2.ids[:, 0]).mean() >= 0.75
+
+
+def test_binary_proxy_search_recovers_topk(ell_and_q):
+    """bitproxy mode: binary-support first stage + exact rerank must
+    recover the true top-k when candidates are wide enough."""
+    from vsearch_tpu.index import SparseIndex
+
+    ell, mat, q = ell_and_q
+    idx = SparseIndex(search_mode="bitproxy")
+    idx.set_ell(ell)
+    res = idx.search(q, k=5, num_candidates=600)
+    exact = q @ mat.toarray().T
+    hits = 0
+    for b in range(4):
+        true_top = set(np.argsort(-exact[b])[:5].tolist())
+        hits += len(true_top & set(np.asarray(res.ids)[b].tolist()))
+    assert hits >= 14  # >= 70% with candidates = 30% of corpus

@@ -50,6 +50,7 @@ class SparseIndex(DenseIndex):
         self.search_mode = search_mode  # 'auto' | 'exact' | 'sketch'
         self.ell: Optional[ELLMatrix] = None
         self.sketch = None  # [N, d] bf16
+        self.bitproxy = None  # support-bits BitMatrix (bitproxy mode)
         self._projection = None
         super().__init__(index_file, data_file, fp16,
                          low_memory=low_memory)
@@ -65,6 +66,7 @@ class SparseIndex(DenseIndex):
         else:
             self.ell = self._load_scipy(files)
         self.sketch = None
+        self.bitproxy = None
         self._search_fn = None
 
     def _load_scipy(self, files) -> ELLMatrix:
@@ -121,6 +123,7 @@ class SparseIndex(DenseIndex):
     def set_ell(self, ell: ELLMatrix):
         self.ell = ell
         self.sketch = None
+        self.bitproxy = None
         self._search_fn = None
 
     def set_vectors(self, mat):
@@ -132,6 +135,7 @@ class SparseIndex(DenseIndex):
         else:
             self.ell = ELLMatrix.from_dense(np.asarray(mat))
         self.sketch = None
+        self.bitproxy = None
         self._search_fn = None
 
     @property
@@ -169,10 +173,13 @@ class SparseIndex(DenseIndex):
 
     # -- search ------------------------------------------------------------
     def _use_sketch(self) -> bool:
-        if self.search_mode == "exact":
-            return False
-        if self.search_mode == "sketch":
+        return (self.search_mode == "sketch")
+
+    def _use_bitproxy(self) -> bool:
+        if self.search_mode == "bitproxy":
             return True
+        if self.search_mode != "auto":
+            return False
         return self.ell.shape[0] > self.exact_threshold
 
     def build_sketch(self, d: Optional[int] = None,
@@ -213,15 +220,30 @@ class SparseIndex(DenseIndex):
                 self._search_fn = (("m", k), fn)
             ids, scores = self._search_fn[1](q, self.ell)
             return SearchResults(np.asarray(ids), np.asarray(scores))
-        if self._use_sketch():
+        if num_candidates is None:
+            # clamp candidate set by the scalar-gather budget
+            b = int(q.shape[0])
+            cap = max(k, self.rerank_budget
+                      // max(b * self.ell.nnz_pad, 1))
+            num_candidates = min(n, max(2 * k, 64), cap)
+        if self._use_bitproxy():
+            from ..ops.sketch import binary_proxy_search
+
+            if getattr(self, "bitproxy", None) is None:
+                from ..ops.bitpack import pack_ell
+                self.bitproxy = pack_ell(
+                    self.ell, host_arrays=getattr(self, "_host_cache",
+                                                  None))
+            c = max(num_candidates, k)
+            key = ("bp", k, c)
+            if self._search_fn is None or self._search_fn[0] != key:
+                fn = jax.jit(lambda q, ell, bm: binary_proxy_search(
+                    q, ell, bm, k=k, num_candidates=c))
+                self._search_fn = (key, fn)
+            ids, scores = self._search_fn[1](q, self.ell, self.bitproxy)
+        elif self._use_sketch():
             if self.sketch is None:
                 self.build_sketch()
-            if num_candidates is None:
-                # clamp candidate set by the scalar-gather budget
-                b = int(q.shape[0])
-                cap = max(k, self.rerank_budget
-                          // max(b * self.ell.nnz_pad, 1))
-                num_candidates = min(n, max(2 * k, 64), cap)
             c = num_candidates
             rr = self.rerank_exact and c > k
             key = ("s", k, c, rr)

@@ -124,6 +124,29 @@ def two_stage_search(q: jax.Array, ell: ELLMatrix, sketch: jax.Array,
     return exact_rerank(q, ell, cand, k)
 
 
+def binary_proxy_search(q: jax.Array, ell: ELLMatrix, bitmat, k: int,
+                        num_candidates: int,
+                        interpret=None) -> Tuple[jax.Array, jax.Array]:
+    """Two-stage search for large REAL-VALUED sparse indexes.
+
+    Stage 1 scores the rows' binary SUPPORT (which vocab dims are
+    nonzero) with the bit-packed MXU kernel — for VDR embeddings this is
+    exactly the q x p_bin semi-parametric interaction the 4-term training
+    loss aligns with q x p (reference loss_utils.py:175-198), so its
+    candidate recall is semantically grounded, unlike a random JL sketch.
+    Stage 2 exactly re-scores the top candidates from the weighted ELL.
+    """
+    from .bitpack import bitpack_scores
+
+    s1 = bitpack_scores(q, bitmat, interpret=interpret)  # [B, N]
+    if jax.default_backend() == "tpu":
+        _, cand = jax.lax.approx_max_k(s1, num_candidates,
+                                       recall_target=0.95)
+    else:
+        _, cand = jax.lax.top_k(s1, num_candidates)
+    return exact_rerank(q, ell, cand, k)
+
+
 def exact_search(q: jax.Array, ell: ELLMatrix, k: int,
                  chunk_rows: int = 65536
                  ) -> Tuple[jax.Array, jax.Array]:
