@@ -1,0 +1,97 @@
+"""HTTP serving layer tests: live server thread + urllib round trips."""
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tests.helpers import make_tokenizer, tiny_bert_config
+from vsearch_tpu.retriever import Retriever, RetrieverConfig
+from vsearch_tpu.serve import serve
+
+CORPUS = ["green tea is a drink", "the red planet mars",
+          "einstein theory of relativity", "a dog runs in the city"]
+
+
+@pytest.fixture(scope="module")
+def server():
+    tok = make_tokenizer()
+    enc = {
+        "type": "vdr", "max_len": 32, "topk": 16, "shift_vocab_num": 5,
+        **{k: v for k, v in vars(tiny_bert_config(tok.vocab_size)).items()
+           if k in ("vocab_size", "hidden_size", "num_hidden_layers",
+                    "num_attention_heads", "intermediate_size",
+                    "max_position_embeddings")},
+    }
+    cfg = RetrieverConfig(encoder_q=dict(enc), encoder_p=dict(enc),
+                          shared_encoder=True)
+    r = Retriever(cfg, tokenizer=tok)
+    r.build_index(CORPUS, batch_size=4, index_type="bag_of_token")
+    srv = serve(r, host="127.0.0.1", port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read())
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        return json.loads(resp.read())
+
+
+def test_healthz(server):
+    assert _get(server + "/healthz") == {"status": "ok"}
+
+
+def test_search_endpoint(server):
+    out = _post(server + "/search",
+                {"queries": ["green tea"], "k": 2,
+                 "return_texts": True})
+    assert len(out["ids"][0]) == 2
+    assert len(out["scores"][0]) == 2
+    assert len(out["texts"][0]) == 2
+    assert all(isinstance(t, str) for t in out["texts"][0])
+
+
+def test_search_with_rerank(server):
+    out = _post(server + "/search",
+                {"queries": ["einstein relativity"], "k": 3,
+                 "rerank": True})
+    assert len(out["ids"][0]) == 3
+    s = out["scores"][0]
+    assert s == sorted(s, reverse=True)
+
+
+def test_embed_endpoint_sparse(server):
+    out = _post(server + "/embed", {"texts": ["green tea"],
+                                    "sparse": True})
+    assert out["sparse"] is True
+    assert len(out["dims"][0]) == len(out["values"][0]) > 0
+
+
+def test_embed_endpoint_dense(server):
+    out = _post(server + "/embed", {"texts": ["green tea"],
+                                    "sparse": False})
+    assert out["sparse"] is False
+    assert len(out["embeddings"][0]) > 100
+
+
+def test_stats_and_errors(server):
+    stats = _get(server + "/stats")
+    assert stats["search"]["steps"] >= 2
+    # malformed request -> 400
+    req = urllib.request.Request(
+        server + "/search", data=b'{"nope": 1}',
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400

@@ -1,0 +1,45 @@
+"""Serving CLI: load a checkpoint + index, expose HTTP search/embed.
+
+Usage:
+  python -m vsearch_tpu.cli.serve --checkpoint ckpt \
+      --index_file index.npz --data_file corpus.jsonl --port 8080
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+
+from .common import load_retriever, setup_logging
+
+logger = logging.getLogger("vsearch_tpu.cli.serve")
+
+
+def main(argv=None):
+    setup_logging()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--index_file", default=None)
+    ap.add_argument("--data_file", default=None)
+    ap.add_argument("--index_type", default=None)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--default_k", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    from ..serve import serve
+
+    retriever = load_retriever(args.checkpoint)
+    if args.index_file:
+        retriever.load_index(index_file=args.index_file,
+                             data_file=args.data_file,
+                             index_type=args.index_type)
+    server = serve(retriever, host=args.host, port=args.port,
+                   default_k=args.default_k)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()
