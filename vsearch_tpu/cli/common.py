@@ -10,7 +10,7 @@ from __future__ import annotations
 import json
 import logging
 import sys
-from typing import Any, Dict, List, Optional
+from typing import List
 
 logger = logging.getLogger("vsearch_tpu.cli")
 

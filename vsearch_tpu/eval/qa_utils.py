@@ -12,7 +12,7 @@ from __future__ import annotations
 import csv
 import re
 import unicodedata
-from typing import Iterable, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 try:
     import regex as _regex

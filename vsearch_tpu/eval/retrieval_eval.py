@@ -11,7 +11,7 @@ with mteb/beir-style harnesses, which call exactly those two methods.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Mapping, Sequence
+from typing import Dict, Mapping, Sequence
 
 import numpy as np
 

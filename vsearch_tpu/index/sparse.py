@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.ell import ELLMatrix
-from ..ops.search import topk_from_scores
 from .base import DenseIndex, IndexType, SearchResults, _resolve_files
 
 logger = logging.getLogger(__name__)

@@ -11,7 +11,7 @@ normalization) with no torchvision dependency.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Union
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax

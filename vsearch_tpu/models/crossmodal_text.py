@@ -18,7 +18,7 @@ from ..ops.activations import elu1p
 from ..ops.sparse import build_topk_mask
 from .bert import BertConfig, BertModel
 from .encoder_base import TextEncoderBase
-from .valid_vocab import VALID_TOKEN_IDS, VID2LID, valid_token_ids
+from .valid_vocab import VALID_TOKEN_IDS, valid_token_ids
 
 
 @dataclasses.dataclass(frozen=True)

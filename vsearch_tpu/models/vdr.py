@@ -19,7 +19,6 @@ TPU-first differences from the reference (intended behavior, not bugs):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, List, Optional, Union
 
 import flax.linen as nn

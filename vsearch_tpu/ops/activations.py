@@ -6,7 +6,6 @@ TPU-native counterpart of the reference's sparse-vector primitives
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def elu1p(x: jax.Array) -> jax.Array:

@@ -18,7 +18,7 @@ top-k is exact over the candidate set.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,9 +11,6 @@ slice with single-digit-ms query latency.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import random as pyrandom
-from typing import Any, Dict, List, Optional, Sequence, Union
+from typing import Any, List, Optional, Sequence, Union
 
 import numpy as np
 
@@ -143,7 +143,7 @@ class Retriever(BiEncoder):
     # -- index building (reference retriever.py:208-317) -------------------
     def _build_bot_ell(self, texts: Sequence[str], batch_size: int = 32,
                        max_len: int = 128, max_token: Optional[int] = None,
-                       num_shift: Optional[int] = None) -> ELLMatrix:
+                       num_shift: Optional[int] = None):
         """Tokenizer-only bag-of-token vectors, built directly into ELL
         (no dense [B, V] staging buffer, reference retriever.py:208-253)."""
         from .index.bot_build import build_bot_ell

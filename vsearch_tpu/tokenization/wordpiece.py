@@ -16,7 +16,7 @@ continuations.
 from __future__ import annotations
 
 import unicodedata
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Dict, Iterable, List, Sequence
 
 
 def _is_whitespace(ch: str) -> bool:

@@ -14,12 +14,12 @@ passage row ``i`` and every other row is a negative.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.sparse import build_bow_mask, build_cts_mask, build_topk_mask
+from ..ops.sparse import build_cts_mask, build_topk_mask
 
 
 @dataclasses.dataclass(frozen=True)
