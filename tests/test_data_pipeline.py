@@ -150,3 +150,29 @@ def test_create_biencoder_batch_layout():
     # negatives follow sample-major
     assert len(batch.p_texts) == 12
     assert batch.p_texts[4].startswith("negative 0")
+
+
+def test_rag_dataset(tmp_path):
+    from vsearch_tpu.data.rag_dataset import RAGDataset
+
+    rows = [
+        {"question": "who made relativity",
+         "answers": ["einstein"],
+         "ctxs": [{"text": "einstein proposed relativity", "title": "a"},
+                  {"text": "the cat sat on the mat", "title": "b"}]},
+        {"question": "no positives here",
+         "answers": ["zzz"],
+         "ctxs": [{"text": "irrelevant text"}]},
+    ]
+    import json as _json
+    p = tmp_path / "rag.jsonl"
+    p.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    ds = RAGDataset(str(p))
+    ds.load_data(require_positive=True)
+    assert len(ds) == 1
+    s = ds[0]
+    assert s.positive_passages[0].text.startswith("einstein")
+    assert len(s.negative_passages) == 1
+    ds2 = RAGDataset(str(p))
+    ds2.load_data(require_positive=False)
+    assert len(ds2) == 2

@@ -4,6 +4,7 @@ from .dataset import (BiEncoderDataset, BiEncoderPassage, BiEncoderSample,
                       create_biencoder_passage)
 from .iterators import (LocalShardedDataIterator, MultiSetDataIterator,
                         ShardedDataIterator, get_data_iterator)
+from .rag_dataset import RAGDataset
 
 __all__ = [
     "BiEncoderBatch", "create_biencoder_batch",
@@ -11,4 +12,5 @@ __all__ = [
     "create_biencoder_passage",
     "ShardedDataIterator", "LocalShardedDataIterator",
     "MultiSetDataIterator", "get_data_iterator",
+    "RAGDataset",
 ]
