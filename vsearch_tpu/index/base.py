@@ -190,6 +190,9 @@ class DenseIndex:
     # -- persistence ---------------------------------------------------------
     def save(self, path: str):
         mat = np.asarray(self.vector.astype(jnp.float16))
+        true_rows = getattr(self, "_true_rows", None)
+        if true_rows:  # drop mesh-sharding pad rows
+            mat = mat[:true_rows]
         if path.endswith(".npz"):
             np.savez_compressed(path, vectors=mat)
         elif path.endswith(".pt"):

@@ -263,8 +263,12 @@ class SparseIndex(DenseIndex):
     def save(self, path: str, native: Optional[bool] = None):
         if native is None:
             native = path.endswith(".ell.npz")
+        ell = self.ell
+        true_rows = getattr(self, "_true_rows", None)
+        if true_rows and ell.shape[0] != true_rows:
+            # drop mesh-sharding pad rows before persisting
+            ell = ell.slice_rows(0, true_rows)
         if native:
-            ell = self.ell
             arrays = dict(
                 cols=np.asarray(ell.cols),
                 nnz=np.asarray(ell.nnz),
@@ -279,7 +283,7 @@ class SparseIndex(DenseIndex):
         else:
             from scipy.sparse import csr_matrix, save_npz
 
-            csr = self.ell.to_scipy_csr(dtype=np.float32).tocsr()
+            csr = ell.to_scipy_csr(dtype=np.float32).tocsr()
             # store f16 on disk (reference-compatible format) via the raw
             # constructor — scipy ops don't support f16 but save/load do
             csr16 = csr_matrix(
