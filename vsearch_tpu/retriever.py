@@ -90,16 +90,39 @@ class Retriever(BiEncoder):
     def _beta_rerank(self, q_emb: np.ndarray, results: SearchResults,
                      index, k: int, batch_size: int) -> SearchResults:
         """Second stage of beta search (reference retriever.py:137-147):
-        embed the retrieved texts and re-score against the query."""
+        embed the retrieved texts and re-score against the query.
+
+        Uses the compact sparse embedding when available: candidate
+        passages come back as (cols, vals) pairs (~topk floats each)
+        instead of dense [B*k, V] vectors, so reranking B x k candidates
+        moves ~100x less data off the device."""
         ret_ids = np.asarray(results.ids)  # [B, k]
         flat_ids = ret_ids.reshape(-1).tolist()
         ret_texts = [_passage_text(index.get_sample(i)) for i in flat_ids]
-        p_emb = self.encoder_p.embed(ret_texts, batch_size=batch_size)
         b = q_emb.shape[0]
-        p_emb = p_emb.reshape(b, k, -1)
-        # [B, k] rerank scores = batched dot products
-        rescored = np.einsum("bkv,bv->bk", p_emb.astype(np.float32),
-                             q_emb.astype(np.float32))
+        q32 = np.asarray(q_emb, dtype=np.float32)
+        if hasattr(self.encoder_p, "embed_sparse"):
+            # activate_lexical=True matches the reference's default
+            # embed() masking for the rerank stage (retriever.py:140)
+            cols, vals = self.encoder_p.embed_sparse(
+                ret_texts, batch_size=batch_size, activate_lexical=True)
+            cols = cols.reshape(b, k, -1)
+            vals = vals.reshape(b, k, -1).astype(np.float32)
+            qpad = np.concatenate(
+                [q32, np.zeros((b, 1), np.float32)], axis=1)
+            # score[b, i] = sum_j vals[b,i,j] * q[b, cols[b,i,j]]
+            rescored = np.einsum(
+                "bij,bij->bi",
+                np.take_along_axis(qpad[:, None, :],
+                                   np.minimum(cols, q32.shape[1]),
+                                   axis=2),
+                vals)
+        else:
+            p_emb = self.encoder_p.embed(ret_texts,
+                                         batch_size=batch_size)
+            p_emb = p_emb.reshape(b, k, -1)
+            rescored = np.einsum("bkv,bv->bk",
+                                 p_emb.astype(np.float32), q32)
         order = np.argsort(-rescored, axis=1)
         new_ids = np.take_along_axis(ret_ids, order, axis=1)
         new_scores = np.take_along_axis(rescored, order, axis=1)
