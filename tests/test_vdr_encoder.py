@@ -137,3 +137,28 @@ def test_disentangle(tiny_encoder):
     assert all(v > 0 for v in d.values())
     vals = list(d.values())
     assert vals == sorted(vals, reverse=True)
+
+
+def test_embed_sparse_matches_dense(tiny_encoder):
+    """embed_sparse must reproduce embed()'s nonzero (col, val) pairs."""
+    texts = ["green tea is a drink", "the red planet mars"]
+    dense = tiny_encoder.embed(texts, topk=8, activate_lexical=False)
+    cols, vals = tiny_encoder.embed_sparse(texts, topk=8,
+                                           activate_lexical=False)
+    for i in range(2):
+        got = {int(c): float(v) for c, v in zip(cols[i], vals[i])
+               if v > 0}
+        expect_nz = np.nonzero(dense[i])[0]
+        # topk masking keeps exactly the same support
+        assert set(got) == set(int(j) for j in expect_nz)
+        for j in expect_nz:
+            assert abs(got[int(j)] - dense[i, j]) < 1e-4
+
+
+def test_embed_sparse_lexical_union(tiny_encoder):
+    texts = ["einstein wrote the famous theory"]
+    dense = tiny_encoder.embed(texts, topk=4, activate_lexical=True)
+    cols, vals = tiny_encoder.embed_sparse(texts, topk=4,
+                                           activate_lexical=True)
+    got = {int(c) for c, v in zip(cols[0], vals[0]) if v > 0}
+    assert got == set(int(j) for j in np.nonzero(dense[0])[0])
