@@ -37,28 +37,29 @@ def main(argv=None):
     io_s = time.perf_counter() - t_start
     logger.info("loaded %d texts", len(texts))
 
-    from ...index import BoTIndex
-    from ...index.bot_build import build_bot_ell
+    from ...index.bot_build import build_bot_ell, save_bot_host
     from ...tokenization import get_tokenizer
 
     tokenizer = get_tokenizer(args.tokenizer)
     t0 = time.perf_counter()
-    ell = build_bot_ell(tokenizer, texts, max_len=args.max_len,
-                        shift=args.num_shift, batch_size=args.batch_size,
-                        max_token=args.max_token,
-                        num_workers=args.num_workers)
+    # host arrays end-to-end: the index build + save never touches the
+    # accelerator (tokenize -> ELL rows -> npz)
+    ell, cols_np, nnz_np = build_bot_ell(
+        tokenizer, texts, max_len=args.max_len, shift=args.num_shift,
+        batch_size=args.batch_size, max_token=args.max_token,
+        num_workers=args.num_workers, return_host=True,
+        device=False)
     build_s = time.perf_counter() - t0
     logger.info("***** Finish Indexing *****")
     logger.info("***** Time for indexing (exclude i/o): %.0f s *****",
                 build_s)
     logger.info("***** Time for indexing (include i/o): %.0f s *****",
                 build_s + io_s)
-    index = BoTIndex()
-    index.set_ell(ell)
-    index.save(args.save_file)
-    n, v = ell.shape
+    save_bot_host(args.save_file, cols_np, nnz_np,
+                  num_cols=tokenizer.vocab_size - args.num_shift)
+    n, v = len(texts), tokenizer.vocab_size - args.num_shift
     import numpy as np
-    nnz_total = int(np.asarray(ell.nnz).sum())
+    nnz_total = int(np.asarray(nnz_np).sum())
     logger.info("***** Index save to: %s *****", args.save_file)
     logger.info("***** Index matrix shape: (%d, %d) *****", n, v)
     logger.info("***** Index sparsity rate: %.2f%% *****",

@@ -72,12 +72,40 @@ def _rebuild_tokenizer(payload):
     return data
 
 
+def save_bot_host(path: str, cols: np.ndarray, nnz: np.ndarray,
+                  num_cols: int):
+    """Persist BoT ELL rows straight from host arrays (no device hop).
+
+    ``.ell.npz`` -> native layout; anything else -> reference-compatible
+    scipy CSR fp16 ``.npz``.
+    """
+    if path.endswith(".ell.npz"):
+        np.savez_compressed(
+            path, cols=cols, nnz=nnz, num_cols=np.asarray(num_cols),
+            sentinel_padded=np.asarray(True))
+        return
+    from scipy.sparse import csr_matrix, save_npz
+
+    n, nnz_pad = cols.shape
+    keep = np.arange(nnz_pad)[None, :] < nnz[:, None]
+    rows = np.repeat(np.arange(n), nnz)
+    flat_cols = cols[keep]
+    data = np.ones(flat_cols.size, dtype=np.float32)
+    csr = csr_matrix((data, (rows, flat_cols)),
+                     shape=(n, num_cols)).tocsr()
+    csr16 = csr_matrix(
+        (csr.data.astype(np.float16), csr.indices, csr.indptr),
+        shape=csr.shape)
+    save_npz(path, csr16)
+
+
 def build_bot_ell(tokenizer, texts: Sequence[str], max_len: int = 128,
                   shift: int = 999, batch_size: int = 1024,
                   max_token: Optional[int] = None,
                   num_workers: Optional[int] = None,
                   vocab_size: Optional[int] = None,
-                  return_host: bool = False):
+                  return_host: bool = False,
+                  device: bool = True):
     """Build a binary bag-of-token ELLMatrix from raw texts.
 
     Each row holds the first-``max_token`` unique token ids >= ``shift``
@@ -112,9 +140,15 @@ def build_bot_ell(tokenizer, texts: Sequence[str], max_len: int = 128,
         cols = np.concatenate([p[0] for p in parts])
         nnz = np.concatenate([p[1] for p in parts])
 
-    ell = ELLMatrix(cols=jnp.asarray(cols), nnz=jnp.asarray(nnz),
-                    vals=None, num_cols=vocab_size - shift,
-                    sentinel_padded=True)
+    if device:
+        ell = ELLMatrix(cols=jnp.asarray(cols), nnz=jnp.asarray(nnz),
+                        vals=None, num_cols=vocab_size - shift,
+                        sentinel_padded=True)
+    else:
+        # host-only ELL (numpy leaves): for build+save pipelines that
+        # never search on this process
+        ell = ELLMatrix(cols=cols, nnz=nnz, vals=None,
+                        num_cols=vocab_size - shift, sentinel_padded=True)
     if return_host:
         return ell, cols, nnz
     return ell
