@@ -7,7 +7,8 @@ from .sparse import (
     build_cts_mask,
     init_cts_mask_like,
 )
-from .ell import ELLMatrix, ell_matvec_scores, ell_row_block_scores
+from .ell import (ELLMatrix, ell_from_topk, ell_matvec_chunked,
+                  ell_matvec_scores, ell_row_block_scores)
 from .search import dense_topk_search, topk_from_scores, merge_shard_topk
 
 __all__ = [
@@ -18,6 +19,8 @@ __all__ = [
     "build_cts_mask",
     "init_cts_mask_like",
     "ELLMatrix",
+    "ell_from_topk",
+    "ell_matvec_chunked",
     "ell_matvec_scores",
     "ell_row_block_scores",
     "dense_topk_search",
