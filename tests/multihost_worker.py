@@ -1,0 +1,81 @@
+"""Worker process for the multi-host smoke test (spawned by
+test_multihost.py). Two processes form one 4-device CPU mesh and run one
+shared training step; both must compute identical global loss."""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+PID = int(sys.argv[1])
+PORT = sys.argv[2]
+
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{PORT}",
+                           num_processes=2, process_id=PID)
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from helpers import make_tokenizer, tiny_bert_config  # noqa: E402
+from vsearch_tpu.models.vdr import VDREncoderConfig, VDRModule  # noqa
+from vsearch_tpu.parallel.mesh import make_mesh  # noqa: E402
+from vsearch_tpu.train.loss import VDRLossConfig  # noqa: E402
+from vsearch_tpu.train.optim import get_optimizer  # noqa: E402
+from vsearch_tpu.train.step import (TrainBatch, TrainState,  # noqa
+                                    TrainStepConfig, make_encoder_apply,
+                                    make_train_step)
+
+assert jax.process_count() == 2
+assert len(jax.devices()) == 4  # 2 local x 2 processes
+
+tok = make_tokenizer()
+cfg = VDREncoderConfig(bert=tiny_bert_config(tok.vocab_size),
+                       shift_vocab_num=5, max_len=16, topk=8)
+module = VDRModule(cfg)
+params = module.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, 8), jnp.int32),
+                     jnp.zeros((1, 8), jnp.int32),
+                     jnp.ones((1, 8), jnp.int32))["params"]
+
+mesh = make_mesh(dp=4, tp=1)
+step_cfg = TrainStepConfig(encoder_type="vdr",
+                           vocab_size=cfg.vocab_size,
+                           shift_vocab_num=cfg.shift_vocab_num,
+                           loss=VDRLossConfig(topk=8))
+apply = make_encoder_apply(module, deterministic=True)
+tx = get_optimizer(params, learning_rate=1e-3)
+state = TrainState.create(params, tx)
+step = make_train_step(apply, apply, step_cfg, mesh=mesh,
+                       shared_params=True)
+
+# deterministic global batch; every process materializes the full array
+# and hands jax its shards via make_array_from_process_local_data
+rng = np.random.default_rng(7)
+N = 8
+q_np = rng.integers(5, cfg.vocab_size, size=(N, 12)).astype(np.int32)
+p_np = rng.integers(5, cfg.vocab_size, size=(2 * N, 12)).astype(np.int32)
+
+from jax.experimental import multihost_utils
+
+sh = NamedSharding(mesh, P("dp"))
+batch = TrainBatch(
+    q_ids=multihost_utils.host_local_array_to_global_array(
+        q_np, mesh, P("dp")) if False else
+    jax.make_array_from_callback(
+        q_np.shape, sh, lambda idx: q_np[idx]),
+    p_ids=jax.make_array_from_callback(
+        p_np.shape, sh, lambda idx: p_np[idx]),
+)
+with mesh:
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+loss = float(metrics["loss"])
+print(f"RESULT pid={PID} loss={loss:.6f}", flush=True)

@@ -1,0 +1,45 @@
+"""Multi-host smoke test: 2 jax processes form one mesh and run one
+training step; both compute the same global loss.
+
+This is the TPU-pod-shaped validation (jax.distributed + cross-process
+mesh) that the single-process 8-device tests can't cover.
+"""
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_train_step():
+    port = str(_free_port())
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), port],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        text=True) for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+        assert p.returncode == 0, out[-2000:]
+    losses = []
+    for out in outs:
+        m = re.search(r"RESULT pid=\d loss=([0-9.]+)", out)
+        assert m, out[-2000:]
+        losses.append(float(m.group(1)))
+    assert losses[0] == pytest.approx(losses[1], rel=1e-6)
