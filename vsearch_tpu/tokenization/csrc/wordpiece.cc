@@ -36,6 +36,37 @@ struct Vocab {
   std::unordered_map<std::string_view, int32_t> cont;
   int32_t unk = 1, cls = 2, sep = 3, pad = 0;
   int32_t max_word_chars = 100;
+  // registered special tokens matched literally in RAW text (HF
+  // semantics: case-sensitive, pre-normalization, even mid-word) — the
+  // "title [SEP] text" corpus join depends on this.
+  std::vector<std::pair<std::string, int32_t>> specials;
+
+  // Exact-unicode tables (wp_set_tables): generated from python
+  // unicodedata so normalization matches HF BertTokenizerFast id-for-id.
+  // flags bits: 1=removed(control/\0/�) 2=whitespace 4=punct 8=cjk.
+  // fold maps a codepoint to its normalized output (NFD -> strip Mn ->
+  // per-char lowercase); only cps whose fold differs from identity are
+  // listed (sorted keys, CSR-style offsets into fold_data).
+  std::vector<uint8_t> uflags;
+  std::vector<uint32_t> fold_keys;
+  std::vector<int32_t> fold_off;
+  std::vector<uint32_t> fold_data;
+  bool exact = false;
+
+  // fold lookup: returns (ptr, count) of folded cps, or identity.
+  inline void fold(uint32_t c, const uint32_t** out, int32_t* n,
+                   uint32_t* self_buf) const {
+    auto it = std::lower_bound(fold_keys.begin(), fold_keys.end(), c);
+    if (it != fold_keys.end() && *it == c) {
+      size_t j = static_cast<size_t>(it - fold_keys.begin());
+      *out = fold_data.data() + fold_off[j];
+      *n = fold_off[j + 1] - fold_off[j];
+      return;
+    }
+    *self_buf = c;
+    *out = self_buf;
+    *n = 1;
+  }
 
   void finalize() {
     storage.reserve(map.size());
@@ -182,7 +213,11 @@ inline bool is_combining_mark(uint32_t c) {
 // Tokenize one text into words (basic tokenizer: lowercase, accent-fold,
 // punct/CJK isolation). The normalized bytes land in `buf` (caller-owned,
 // reused across texts); `words` receives (offset, length) pairs into it.
-void basic_tokenize(const char* s, size_t len, std::string& buf,
+// With exact tables (wp_set_tables) the pipeline matches HF
+// BertTokenizerFast: clean -> CJK isolate -> NFD/strip-Mn/lowercase
+// (table-driven) -> punct split; without, a hand-rolled Latin fallback.
+void basic_tokenize(const Vocab& v, const char* s, size_t len,
+                    std::string& buf,
                     std::vector<std::pair<uint32_t, uint32_t>>& words) {
   buf.clear();
   words.clear();
@@ -194,6 +229,53 @@ void basic_tokenize(const char* s, size_t len, std::string& buf,
     word_start = static_cast<uint32_t>(buf.size());
   };
   size_t i = 0;
+  if (v.exact) {
+    const uint8_t* flags = v.uflags.data();
+    while (i < len) {
+      uint32_t c = next_cp(s, len, i);
+      if (c >= 0x110000) c = 0xFFFD;
+      // fast ASCII path: 1:1 folds, no marks
+      if (c < 0x80) {
+        uint8_t f = flags[c];
+        if (f & 1) continue;
+        if (f & 2) { flush(); continue; }
+        if (c >= 'A' && c <= 'Z') c += 32;
+        if (f & 4) {
+          flush();
+          buf.push_back(static_cast<char>(c));
+          flush();
+        } else {
+          buf.push_back(static_cast<char>(c));
+        }
+        continue;
+      }
+      uint8_t f = flags[c];
+      if (f & 1) continue;
+      if (f & 2) { flush(); continue; }
+      const uint32_t* fp;
+      int32_t fn;
+      uint32_t self_buf;
+      v.fold(c, &fp, &fn, &self_buf);
+      if (f & 8) {  // CJK: isolate (folded — compat ideographs NFD)
+        flush();
+        for (int32_t k = 0; k < fn; k++) append_cp(buf, fp[k]);
+        flush();
+        continue;
+      }
+      for (int32_t k = 0; k < fn; k++) {
+        uint32_t fc = fp[k];
+        if (flags[fc] & 4) {
+          flush();
+          append_cp(buf, fc);
+          flush();
+        } else {
+          append_cp(buf, fc);
+        }
+      }
+    }
+    flush();
+    return;
+  }
   while (i < len) {
     uint32_t c = next_cp(s, len, i);
     if (is_control(c)) continue;
@@ -270,22 +352,54 @@ struct Scratch {
   std::vector<uint64_t> seen_bits;
 };
 
+// Tokenize raw text into ids, honoring literal special tokens; appends
+// to `ids` and stops adding once `cap` total ids are reached (trimming
+// any wordpiece overshoot).
+void tokenize_ids(const Vocab& v, const char* s, size_t len, int32_t cap,
+                  std::vector<int32_t>& ids, Scratch& sc) {
+  auto emit_segment = [&](size_t lo, size_t hi) {
+    if (lo >= hi) return;
+    basic_tokenize(v, s + lo, hi - lo, sc.norm, sc.words);
+    for (const auto& [off, wlen] : sc.words) {
+      if (static_cast<int32_t>(ids.size()) >= cap) return;
+      wordpiece(v, std::string_view(sc.norm).substr(off, wlen), ids);
+    }
+  };
+  size_t seg = 0;
+  if (!v.specials.empty()) {
+    size_t i = 0;
+    while (i < len && static_cast<int32_t>(ids.size()) < cap) {
+      if (s[i] == '[') {
+        bool matched = false;
+        for (const auto& [tok, id] : v.specials) {
+          if (i + tok.size() <= len &&
+              std::memcmp(s + i, tok.data(), tok.size()) == 0) {
+            emit_segment(seg, i);
+            if (static_cast<int32_t>(ids.size()) < cap)
+              ids.push_back(id);
+            i += tok.size();
+            seg = i;
+            matched = true;
+            break;
+          }
+        }
+        if (matched) continue;
+      }
+      i++;
+    }
+  }
+  if (static_cast<int32_t>(ids.size()) < cap) emit_segment(seg, len);
+  if (static_cast<int32_t>(ids.size()) > cap) ids.resize(cap);
+}
+
 void encode_one(const Vocab& v, const char* text, size_t len,
                 int32_t max_len, bool add_special, int32_t* out,
                 int32_t* out_len, Scratch& sc) {
-  basic_tokenize(text, len, sc.norm, sc.words);
   auto& ids = sc.ids;
   ids.clear();
   if (add_special) ids.push_back(v.cls);
-  int32_t body_cap = add_special ? max_len - 2 : max_len;
-  for (const auto& [off, wlen] : sc.words) {
-    if (static_cast<int32_t>(ids.size()) - (add_special ? 1 : 0) >=
-        body_cap)
-      break;
-    wordpiece(v, std::string_view(sc.norm).substr(off, wlen), ids);
-  }
-  int32_t limit = add_special ? max_len - 1 : max_len;
-  if (static_cast<int32_t>(ids.size()) > limit) ids.resize(limit);
+  tokenize_ids(v, text, len, add_special ? max_len - 1 : max_len, ids,
+               sc);
   if (add_special) ids.push_back(v.sep);
   int32_t m = static_cast<int32_t>(ids.size());
   std::memcpy(out, ids.data(), m * sizeof(int32_t));
@@ -339,11 +453,29 @@ void* wp_create(const char* vocab_blob, int64_t blob_len) {
   v->unk = find("[UNK]", 1);
   v->cls = find("[CLS]", 2);
   v->sep = find("[SEP]", 3);
+  for (const char* t : {"[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"}) {
+    auto it = v->map.find(t);
+    if (it != v->map.end()) v->specials.emplace_back(t, it->second);
+  }
   v->finalize();
   return v;
 }
 
 void wp_free(void* handle) { delete static_cast<Vocab*>(handle); }
+
+// Install exact-unicode tables (see Vocab docs). Copies all inputs.
+// flags: [n_flags] uint8 (n_flags = 0x110000); fold CSR: keys [n_keys]
+// sorted uint32, off [n_keys+1] int32, data [off[n_keys]] uint32.
+void wp_set_tables(void* handle, const uint8_t* flags, int64_t n_flags,
+                   const uint32_t* fold_keys, const int32_t* fold_off,
+                   const uint32_t* fold_data, int64_t n_keys) {
+  Vocab& v = *static_cast<Vocab*>(handle);
+  v.uflags.assign(flags, flags + n_flags);
+  v.fold_keys.assign(fold_keys, fold_keys + n_keys);
+  v.fold_off.assign(fold_off, fold_off + n_keys + 1);
+  v.fold_data.assign(fold_data, fold_data + fold_off[n_keys]);
+  v.exact = true;
+}
 
 int32_t wp_vocab_size(void* handle) {
   return static_cast<int32_t>(static_cast<Vocab*>(handle)->map.size());
@@ -386,16 +518,10 @@ void wp_encode_bot_batch(void* handle, const char* texts,
       row.clear();
       // tokenize (with CLS/SEP like the reference tokenizer call,
       // reference retriever.py:238 — specials fall below shift anyway)
-      basic_tokenize(texts + offsets[i],
-                     static_cast<size_t>(offsets[i + 1] - offsets[i]),
-                     sc.norm, sc.words);
       ids.push_back(v.cls);
-      for (const auto& [off, wlen] : sc.words) {
-        if (static_cast<int32_t>(ids.size()) >= max_len - 1) break;
-        wordpiece(v, std::string_view(sc.norm).substr(off, wlen), ids);
-      }
-      if (static_cast<int32_t>(ids.size()) > max_len - 1)
-        ids.resize(max_len - 1);
+      tokenize_ids(v, texts + offsets[i],
+                   static_cast<size_t>(offsets[i + 1] - offsets[i]),
+                   max_len - 1, ids, sc);
       ids.push_back(v.sep);
       // first-N-unique >= shift (small bitset over the vocab)
       size_t vs = v.map.size();

@@ -17,7 +17,87 @@ import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "csrc", "wordpiece.cc")
 _LIB = os.path.join(os.path.dirname(__file__), "csrc", "libwordpiece.so")
+_TABLES = os.path.join(os.path.dirname(__file__), "csrc",
+                       "unitables_v1.npz")
 _BUILD_LOCK = threading.Lock()
+_N_CP = 0x110000
+
+
+def _generate_unicode_tables():
+    """flags + fold tables mirroring python unicodedata exactly.
+
+    flags bits: 1=removed(control/NUL/U+FFFD) 2=whitespace 4=punct 8=cjk.
+    fold(cp) = per-char-lowercase(strip-Mn(NFD(chr(cp)))) — the HF-fast
+    BertNormalizer pipeline; only non-identity entries are stored.
+    """
+    import unicodedata
+
+    from .wordpiece import (_is_cjk, _is_control, _is_punctuation,
+                            _is_whitespace)
+
+    flags = np.zeros(_N_CP, dtype=np.uint8)
+    keys, offs, data = [], [0], []
+    for cp in range(_N_CP):
+        if 0xD800 <= cp <= 0xDFFF:  # surrogates never occur in UTF-8
+            flags[cp] = 1
+            continue
+        ch = chr(cp)
+        f = 0
+        if cp == 0 or cp == 0xFFFD or _is_control(ch):
+            f |= 1
+        if _is_whitespace(ch):
+            f |= 2
+        if _is_punctuation(ch):
+            f |= 4
+        if _is_cjk(cp):
+            f |= 8
+        flags[cp] = f
+        if f & 3:  # removed/space chars are never folded
+            continue
+        folded = unicodedata.normalize("NFD", ch)
+        folded = "".join(c for c in folded
+                         if unicodedata.category(c) != "Mn")
+        folded = "".join(c.lower() for c in folded)
+        if folded != ch:
+            keys.append(cp)
+            data.extend(ord(c) for c in folded)
+            offs.append(len(data))
+    return (flags, np.asarray(keys, np.uint32),
+            np.asarray(offs, np.int32), np.asarray(data, np.uint32))
+
+
+_tables_cache = None
+
+
+def _unicode_tables():
+    """Load (or generate + disk-cache) the exact-unicode tables."""
+    global _tables_cache
+    if _tables_cache is not None:
+        return _tables_cache
+    with _BUILD_LOCK:
+        if _tables_cache is not None:
+            return _tables_cache
+        if os.path.exists(_TABLES):
+            try:
+                z = np.load(_TABLES)
+                _tables_cache = (z["flags"], z["fold_keys"],
+                                 z["fold_off"], z["fold_data"])
+                return _tables_cache
+            except Exception:
+                pass  # corrupt cache: regenerate
+        tables = _generate_unicode_tables()
+        tmp = _TABLES + f".tmp{os.getpid()}"
+        try:
+            with open(tmp, "wb") as fh:  # np.savez would append .npz
+                np.savez_compressed(fh, flags=tables[0],
+                                    fold_keys=tables[1],
+                                    fold_off=tables[2],
+                                    fold_data=tables[3])
+            os.replace(tmp, _TABLES)
+        except OSError:
+            pass  # read-only install: keep in-memory only
+        _tables_cache = tables
+    return _tables_cache
 
 
 def _build_library() -> str:
@@ -44,6 +124,12 @@ def _lib():
         lib.wp_free.argtypes = [ctypes.c_void_p]
         lib.wp_vocab_size.restype = ctypes.c_int32
         lib.wp_vocab_size.argtypes = [ctypes.c_void_p]
+        lib.wp_set_tables.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.uint8), ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.uint32), ctypes.c_int64]
         lib.wp_encode_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p,
             np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
@@ -79,6 +165,12 @@ class NativeWordPieceTokenizer:
         ordered = sorted(vocab.items(), key=lambda kv: kv[1])
         blob = "\n".join(tok for tok, _ in ordered).encode("utf-8")
         self._handle = ctypes.c_void_p(_lib().wp_create(blob, len(blob)))
+        flags, fkeys, foff, fdata = _unicode_tables()
+        _lib().wp_set_tables(
+            self._handle, np.ascontiguousarray(flags, np.uint8),
+            flags.shape[0], np.ascontiguousarray(fkeys, np.uint32),
+            np.ascontiguousarray(foff, np.int32),
+            np.ascontiguousarray(fdata, np.uint32), fkeys.shape[0])
         self.pad_id = vocab.get("[PAD]", 0)
         self.unk_id = vocab.get("[UNK]", 1)
         self.cls_id = vocab.get("[CLS]", 2)

@@ -15,6 +15,7 @@ continuations.
 """
 from __future__ import annotations
 
+import re
 import unicodedata
 from typing import Dict, Iterable, List, Sequence
 
@@ -52,7 +53,7 @@ class WordPieceTokenizer:
     def __init__(self, vocab: Dict[str, int], lowercase: bool = True,
                  unk_token: str = "[UNK]", cls_token: str = "[CLS]",
                  sep_token: str = "[SEP]", pad_token: str = "[PAD]",
-                 max_word_chars: int = 100):
+                 mask_token: str = "[MASK]", max_word_chars: int = 100):
         self.vocab = vocab
         self.ids_to_tokens = {i: t for t, i in vocab.items()}
         self.lowercase = lowercase
@@ -65,6 +66,14 @@ class WordPieceTokenizer:
         self.sep_id = vocab[sep_token]
         self.pad_id = vocab[pad_token]
         self.max_word_chars = max_word_chars
+        # HF matches registered special tokens in RAW text, case-sensitive,
+        # before any normalization, even mid-word ("a[SEP]b") — the corpus
+        # join convention "title [SEP] text" (reference biencoder.py:88-109)
+        # depends on it.
+        specials = [t for t in (pad_token, unk_token, cls_token,
+                                sep_token, mask_token) if t in vocab]
+        self._special_re = re.compile(
+            "|".join(re.escape(t) for t in specials)) if specials else None
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -104,10 +113,14 @@ class WordPieceTokenizer:
         out: List[str] = []
         for word in words:
             if self.lowercase:
-                word = word.lower()
+                # Mirror HF *fast* BertNormalizer exactly: NFD + strip
+                # combining marks FIRST, then per-char lowercase (Rust
+                # char::to_lowercase has no Greek final-sigma context,
+                # unlike python str.lower on a whole word).
                 word = unicodedata.normalize("NFD", word)
                 word = "".join(c for c in word
                                if unicodedata.category(c) != "Mn")
+                word = "".join(c.lower() for c in word)
             # split on punctuation
             cur: List[str] = []
             for ch in word:
@@ -145,10 +158,21 @@ class WordPieceTokenizer:
             start = end
         return pieces
 
-    def tokenize(self, text: str) -> List[str]:
-        out: List[str] = []
+    def _tokenize_segment(self, text: str, out: List[str]) -> None:
         for word in self.basic_tokenize(text):
             out.extend(self.wordpiece(word))
+
+    def tokenize(self, text: str) -> List[str]:
+        out: List[str] = []
+        if self._special_re is None:
+            self._tokenize_segment(text, out)
+            return out
+        pos = 0
+        for m in self._special_re.finditer(text):
+            self._tokenize_segment(text[pos:m.start()], out)
+            out.append(m.group(0))
+            pos = m.end()
+        self._tokenize_segment(text[pos:], out)
         return out
 
     # -- encoding ----------------------------------------------------------
