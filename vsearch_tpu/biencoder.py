@@ -200,6 +200,13 @@ class BiEncoder:
         with open(os.path.join(path, "config.json")) as f:
             hf_cfg = json.load(f)
         config = cls.config_class.from_dict(hf_cfg)
+        # Reference checkpoints max-pool PAD positions (reference
+        # vdr.py:74); enable the compat pooling so their golden scores
+        # reproduce, unless the config says otherwise explicitly.
+        for enc_cfg in (config.encoder_q, config.encoder_p):
+            if (enc_cfg.get("type", "vdr") == "vdr"
+                    and "compat_pad_pooling" not in enc_cfg):
+                enc_cfg["compat_pad_pooling"] = True
         sd = _load_torch_state_dict(path)
         model = cls(config, tokenizer=tokenizer, **kwargs)
         for name, enc in (("encoder_q", model.encoder_q),

@@ -7,9 +7,12 @@ max-pool over the sequence -> optional L2 norm, then top-k / bag-of-words
 masking.
 
 TPU-first differences from the reference (intended behavior, not bugs):
-  * padding positions are masked out of the pooling, so embeddings are
-    invariant to the static padding length (the reference max-pools pad
-    positions too, making its output depend on dynamic batch padding);
+  * padding positions are masked out of the pooling by default, so
+    embeddings are invariant to the static padding length (the reference
+    max-pools pad positions too, making its output depend on dynamic
+    batch padding); ``compat_pad_pooling=True`` reproduces the
+    reference's behavior exactly and is the default when loading
+    reference torch checkpoints (golden-score parity);
   * elu1p commutes with max (both monotone), so the kernel max-pools the
     raw logits and applies elu1p once on the pooled [B, V'] — saving a
     [B, L, V'] elementwise pass;
@@ -44,6 +47,13 @@ class VDREncoderConfig:
     topk: int = 768
     pooling: str = "max"  # 'max' | 'mean'
     pooling_topk: int = 0  # for 'mean': average of top-k sequence acts
+    # Reproduce the reference's pooling over PAD positions exactly
+    # (reference src/ir/encoder/vdr.py:74-82 pools the full [B, L, V']
+    # tensor, so its embeddings depend on batch padding length). Off by
+    # default — the TPU-native default is padding-invariant pooling —
+    # but set True automatically when converting reference torch
+    # checkpoints, so published golden scores reproduce bit-for-bit.
+    compat_pad_pooling: bool = False
     bert: BertConfig = dataclasses.field(default_factory=BertConfig)
     type: str = "vdr"
 
@@ -109,7 +119,18 @@ class VDRModule(nn.Module):
                 preferred_element_type=jnp.float32,
                 precision=precision)
 
-        valid = attention_mask.astype(jnp.bool_)
+        if cfg.compat_pad_pooling:
+            # Reference semantics: tokenize(padding=True) pads to the
+            # longest row in the batch and pooling consumes those pad
+            # positions (reference vdr.py:74,90). Our static buckets can
+            # be longer, so pool exactly the positions the reference
+            # would have: pos < max row length (in-graph, stays jittable).
+            longest = attention_mask.sum(axis=1).max()
+            valid = (jnp.arange(attention_mask.shape[1])[None, :]
+                     < longest)
+            valid = jnp.broadcast_to(valid, attention_mask.shape)
+        else:
+            valid = attention_mask.astype(jnp.bool_)
         if cfg.pooling == "max":
             # elu1p commutes with max; pool raw logits via an L-chunked
             # scan with a running max — the [B, L, V'] logits tensor
