@@ -14,8 +14,12 @@ jax.config.update("jax_platforms", "cpu")
 PID = int(sys.argv[1])
 PORT = sys.argv[2]
 
-jax.distributed.initialize(coordinator_address=f"127.0.0.1:{PORT}",
-                           num_processes=2, process_id=PID)
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+from vsearch_tpu.parallel.collectives import initialize_distributed  # noqa
+
+assert initialize_distributed(coordinator_address=f"127.0.0.1:{PORT}",
+                              num_processes=2, process_id=PID)
 
 import numpy as np
 import jax.numpy as jnp

@@ -5,8 +5,10 @@ Usage:
       train_datasets=[nq_train] train.batch_size=64 biencoder=dpr
 
 No torchrun/NCCL: parallelism comes from the JAX mesh (config ``mesh.dp``
-/ ``mesh.tp``); multi-host launches just run this once per host with
-jax.distributed initialized externally.
+/ ``mesh.tp``); multi-host launches run this once per host with
+COORDINATOR_ADDRESS / WORLD_SIZE / RANK env vars set (or MASTER_ADDR /
+MASTER_PORT, torchrun-style) — ``initialize_distributed`` picks them up
+before the backend comes up.
 """
 from __future__ import annotations
 
@@ -50,6 +52,17 @@ def main(argv=None):
                     help="dotted key=value overrides / group swaps")
     args = ap.parse_args(argv)
     cfg = load_config(args.config, args.overrides)
+
+    # multi-host bring-up first — before anything touches the backend
+    # (counterpart of reference conf_utils.py:19-49 setup_cfg_gpu)
+    from ..parallel.collectives import initialize_distributed
+
+    if initialize_distributed():
+        import jax
+
+        logger.info("distributed: process %d/%d, %d global devices",
+                    jax.process_index(), jax.process_count(),
+                    len(jax.devices()))
 
     seed = int(cfg.get("seed", 12345))
     set_seed(seed)

@@ -1,49 +1,118 @@
 """Deterministic sharded data iterators.
 
-Counterpart of reference src/ir/data/ddp_iterators.py:10-305. Semantics
-preserved: per-shard contiguous slice of a seeded epoch permutation,
-max-iterations set by the largest shard (short shards pad from their own
-head), ``offset`` for mid-epoch resume, multi-dataset interleaving with a
-seeded source schedule where each batch comes from one dataset. Shards
-here map to JAX *processes* (hosts) rather than torch ranks; per-device
-splitting happens by sharding the global batch over the mesh.
+Behavioral counterpart of reference src/ir/data/ddp_iterators.py:10-305
+(re-designed internals, same contract): every shard derives the same
+seeded epoch permutation and takes a contiguous slice of it; the number
+of iterations per epoch is fixed by the largest shard, short shards and
+short final batches pad from the shard head; ``offset`` resumes
+mid-epoch; multi-dataset interleaving draws each batch from exactly one
+dataset on a seeded schedule. Shards map to JAX *processes* (hosts)
+rather than torch ranks; per-device splitting happens by sharding the
+global batch over the mesh.
+
+Permutations come from numpy Generators keyed by (seed + epoch) — the
+determinism contract is ours, not bit-parity with torch's shuffle.
 """
 from __future__ import annotations
 
-import itertools
+import dataclasses
 import logging
-import math
-import random
 from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
 
 logger = logging.getLogger(__name__)
 
 
+def epoch_permutation(n: int, seed: int, epoch: int,
+                      shuffle: bool = True) -> np.ndarray:
+    """The shared epoch permutation every shard slices from."""
+    if not shuffle:
+        return np.arange(n)
+    return np.random.default_rng(seed + epoch).permutation(n)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardGeometry:
+    """Pure shard arithmetic: bounds and per-epoch iteration count."""
+
+    total: int
+    shard_id: int
+    num_shards: int
+    batch_size: int
+    strict: bool
+
+    @property
+    def per_shard(self) -> int:
+        return -(-self.total // self.num_shards)  # ceil
+
+    @property
+    def lo(self) -> int:
+        return self.shard_id * self.per_shard
+
+    @property
+    def hi(self) -> int:
+        return min(self.lo + self.per_shard, self.total)
+
+    @property
+    def max_iterations(self) -> int:
+        q, r = divmod(self.per_shard, self.batch_size)
+        return q + 1 if (self.strict and r) else q
+
+
+def _batch_plan(n: int, batch_size: int, start_iteration: int,
+                max_iterations: int, strict: bool
+                ) -> Iterator[Tuple[int, int, int]]:
+    """Yield (lo, hi, head_pad) ranges over a length-n index list.
+
+    Walks the list in batch_size strides from the resume point; in
+    strict mode a short final batch is topped up with head_pad items
+    from the head. Afterwards, if this shard has fewer natural batches
+    than the epoch's fixed iteration count (it is smaller than the
+    largest shard), keep emitting head batches until the count is met.
+    """
+    emitted = start_iteration
+    for lo in range(start_iteration * batch_size, n, batch_size):
+        hi = min(lo + batch_size, n)
+        pad = batch_size - (hi - lo) if strict else 0
+        yield lo, hi, pad
+        emitted += 1
+    while emitted < max_iterations:
+        yield 0, min(batch_size, n), 0
+        emitted += 1
+
+
 class ShardedDataIterator:
-    """reference ddp_iterators.py:10-129 (with its undefined-variable
-    strict-batch bug fixed: padding comes from the shard head)."""
+    """One dataset, one shard (reference ddp_iterators.py:10-129 —
+    including the intended behavior of its strict-batch bug)."""
 
     def __init__(self, dataset, shard_id: int = 0, num_shards: int = 1,
                  batch_size: int = 1, shuffle: bool = True,
                  shuffle_seed: int = 0, offset: int = 0,
                  strict_batch_size: bool = False):
         self.dataset = dataset
-        total_size = len(dataset)
-        self.shards_num = max(num_shards, 1)
-        self.shard_id = max(shard_id, 0)
-        samples_per_shard = math.ceil(total_size / self.shards_num)
-        self.shard_start_idx = self.shard_id * samples_per_shard
-        self.shard_end_idx = min(self.shard_start_idx + samples_per_shard,
-                                 total_size)
-        if strict_batch_size:
-            self.max_iterations = math.ceil(samples_per_shard / batch_size)
-        else:
-            self.max_iterations = samples_per_shard // batch_size
-        self.iteration = offset
-        self.shuffle = shuffle
+        self.geometry = ShardGeometry(
+            total=len(dataset), shard_id=max(shard_id, 0),
+            num_shards=max(num_shards, 1), batch_size=batch_size,
+            strict=strict_batch_size)
         self.batch_size = batch_size
+        self.shuffle = shuffle
         self.shuffle_seed = shuffle_seed
         self.strict_batch_size = strict_batch_size
+        self.iteration = offset
+
+    # -- introspection (surface used by the trainer/tests) -----------------
+    @property
+    def max_iterations(self) -> int:
+        return self.geometry.max_iterations
+
+    @property
+    def shard_start_idx(self) -> int:
+        return self.geometry.lo
+
+    @property
+    def shard_end_idx(self) -> int:
+        return self.geometry.hi
 
     def total_data_len(self) -> int:
         return len(self.dataset)
@@ -57,89 +126,83 @@ class ShardedDataIterator:
     def get_iteration(self) -> int:
         return self.iteration
 
-    def get_shard_indices(self, epoch: int) -> List[int]:
-        indices = list(range(len(self.dataset)))
-        if self.shuffle:
-            # seeded by (shuffle_seed + epoch) so every shard derives the
-            # same permutation and resume is deterministic
-            random.Random(self.shuffle_seed + epoch).shuffle(indices)
-        return indices[self.shard_start_idx: self.shard_end_idx]
-
-    def iterate_ds_data(self, epoch: int = 0) -> Iterator[List]:
-        max_iterations = self.max_iterations - self.iteration
-        shard_indices = self.get_shard_indices(epoch)
-        for i in range(self.iteration * self.batch_size,
-                       len(shard_indices), self.batch_size):
-            items_idxs = shard_indices[i: i + self.batch_size]
-            if self.strict_batch_size and len(items_idxs) < self.batch_size:
-                items_idxs.extend(
-                    shard_indices[: self.batch_size - len(items_idxs)])
-            self.iteration += 1
-            yield [self.dataset[idx] for idx in items_idxs]
-        # short shards keep pace with the largest one by re-yielding the
-        # shard head
-        while self.iteration < max_iterations:
-            self.iteration += 1
-            items_idxs = shard_indices[: self.batch_size]
-            yield [self.dataset[idx] for idx in items_idxs]
-        self.iteration = 0
-
-    def iterate_ds_sampled_data(self, num_iterations: int, epoch: int = 0
-                                ) -> Iterator[List]:
-        self.iteration = 0
-        shard_indices = self.get_shard_indices(epoch)
-        cycle_it = itertools.cycle(shard_indices)
-        for _ in range(num_iterations):
-            items_idxs = [next(cycle_it) for _ in range(self.batch_size)]
-            self.iteration += 1
-            yield [self.dataset[idx] for idx in items_idxs]
-        self.iteration = 0
-
     def get_dataset(self):
         return self.dataset
 
+    # -- iteration ----------------------------------------------------------
+    def get_shard_indices(self, epoch: int) -> np.ndarray:
+        perm = epoch_permutation(len(self.dataset), self.shuffle_seed,
+                                 epoch, self.shuffle)
+        return perm[self.geometry.lo: self.geometry.hi]
+
+    def _materialize(self, indices: np.ndarray, lo: int, hi: int,
+                     pad: int) -> List:
+        rows = np.concatenate([indices[lo:hi], indices[:pad]]) if pad \
+            else indices[lo:hi]
+        return [self.dataset[int(i)] for i in rows]
+
+    def iterate_ds_data(self, epoch: int = 0) -> Iterator[List]:
+        indices = self.get_shard_indices(epoch)
+        for lo, hi, pad in _batch_plan(len(indices), self.batch_size,
+                                       self.iteration,
+                                       self.max_iterations,
+                                       self.strict_batch_size):
+            self.iteration += 1
+            yield self._materialize(indices, lo, hi, pad)
+        self.iteration = 0
+
+    def iterate_ds_sampled_data(self, num_iterations: int,
+                                epoch: int = 0) -> Iterator[List]:
+        """Exactly num_iterations batches, cycling through the shard."""
+        self.iteration = 0
+        indices = self.get_shard_indices(epoch)
+        n = len(indices)
+        pos = 0
+        for _ in range(num_iterations):
+            rows = np.arange(pos, pos + self.batch_size) % n
+            pos = (pos + self.batch_size) % n
+            self.iteration += 1
+            yield [self.dataset[int(indices[r])] for r in rows]
+        self.iteration = 0
+
 
 class LocalShardedDataIterator(ShardedDataIterator):
-    """Loads only the local shard's data (reference
-    ddp_iterators.py:132-146)."""
+    """Loads only the local shard's rows; indices are then shard-local
+    (reference ddp_iterators.py:132-146)."""
 
     def load_data(self):
-        self.dataset.load_data(start_pos=self.shard_start_idx,
-                               end_pos=self.shard_end_idx)
+        self.dataset.load_data(start_pos=self.geometry.lo,
+                               end_pos=self.geometry.hi)
 
-    def get_shard_indices(self, epoch: int) -> List[int]:
-        indices = list(range(len(self.dataset)))
-        if self.shuffle:
-            random.Random(self.shuffle_seed + epoch).shuffle(indices)
-        return indices
+    def get_shard_indices(self, epoch: int) -> np.ndarray:
+        return epoch_permutation(len(self.dataset), self.shuffle_seed,
+                                 epoch, self.shuffle)
 
 
 class MultiSetDataIterator:
     """Interleaves multiple datasets; each batch comes from exactly one
-    dataset, schedule is a seeded shuffle (reference
-    ddp_iterators.py:150-253)."""
+    dataset on a seeded schedule (reference ddp_iterators.py:150-253)."""
 
     def __init__(self, datasets: List[ShardedDataIterator],
                  shuffle_seed: int = 0, shuffle: bool = True,
                  sampling_rates: Optional[Sequence[float]] = None,
                  rank: int = 0):
         self.iterables = datasets
-        self.total_data = sum(it.total_data_len() for it in datasets)
         self.shuffle_seed = shuffle_seed
         self.shuffle = shuffle
         self.iteration = 0
         self.rank = rank
-        if sampling_rates:
-            self.max_its_pr_ds = [
-                int(ds.max_iterations_num() * sampling_rates[i])
-                for i, ds in enumerate(datasets)]
-        else:
-            self.max_its_pr_ds = [ds.max_iterations_num()
-                                  for ds in datasets]
+        rates = sampling_rates or [1.0] * len(datasets)
+        self.max_its_pr_ds = [int(ds.max_iterations_num() * r)
+                              for ds, r in zip(datasets, rates)]
         self.max_iterations = sum(self.max_its_pr_ds)
 
     def total_data_len(self) -> int:
-        return self.total_data
+        return sum(it.total_data_len() for it in self.iterables)
+
+    @property
+    def total_data(self) -> int:
+        return self.total_data_len()
 
     def get_max_iterations(self) -> int:
         return self.max_iterations
@@ -147,24 +210,25 @@ class MultiSetDataIterator:
     def get_iteration(self) -> int:
         return self.iteration
 
+    def _schedule(self, epoch: int) -> np.ndarray:
+        """Source id per step: each source appears exactly its quota."""
+        schedule = np.repeat(np.arange(len(self.iterables)),
+                             self.max_its_pr_ds)
+        if self.shuffle:
+            rng = np.random.default_rng(self.shuffle_seed + epoch)
+            schedule = rng.permutation(schedule)
+        return schedule
+
     def iterate_ds_data(self, epoch: int = 0
                         ) -> Iterator[Tuple[List, int]]:
-        data_src_indices: List[int] = []
-        iterators = []
-        for source, src_its in enumerate(self.max_its_pr_ds):
-            data_src_indices.extend([source] * src_its)
-            iterators.append(self.iterables[source].iterate_ds_sampled_data(
-                src_its, epoch=epoch))
-        if self.shuffle:
-            random.Random(self.shuffle_seed + epoch).shuffle(
-                data_src_indices)
-        for source_idx in data_src_indices:
-            next_item = next(iterators[source_idx], None)
-            if next_item is not None:
+        streams = [it.iterate_ds_sampled_data(quota, epoch=epoch)
+                   for it, quota in zip(self.iterables,
+                                        self.max_its_pr_ds)]
+        for source in self._schedule(epoch):
+            batch = next(streams[int(source)], None)
+            if batch is not None:
                 self.iteration += 1
-                yield next_item, source_idx
-        for it in iterators:
-            next(it, None)
+                yield batch, int(source)
         for it in self.iterables:
             it.iteration = 0
         self.iteration = 0
@@ -188,9 +252,9 @@ def get_data_iterator(datasets: Sequence, batch_size: int,
     """Factory (reference ddp_iterators.py:257-305): loads data in a
     rank-randomized order (avoids FS congestion), wraps each dataset in a
     sharded iterator, interleaves."""
-    load_order = list(datasets)
-    random.Random(rank).shuffle(load_order)
-    for ds in load_order:
+    load_order = np.random.default_rng(rank).permutation(len(datasets))
+    for i in load_order:
+        ds = datasets[int(i)]
         if is_train_set:
             ds.load_data(require_positive, require_hard_negative)
         else:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import ctypes
 import dataclasses
+import logging
 import os
 import subprocess
 import threading
@@ -29,6 +30,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 TILE_BITS = 4096
 LANES = 128
@@ -158,7 +161,11 @@ def pack_ell(ell, nthreads: Optional[int] = None,
         return pack_ell_host(ell.cols, np.asarray(ell.nnz), ell.num_cols)
     try:
         return pack_ell_device(ell)
-    except Exception:
+    except (jax.errors.JaxRuntimeError, RuntimeError) as exc:
+        # OOM / backend failure: fall back to the C++ host packer.
+        # Anything else (shape/dtype bugs) must surface, not be masked.
+        logger.warning("device bit-pack failed (%s); packing on host",
+                       type(exc).__name__)
         if host_arrays is not None:
             return pack_ell_host(host_arrays[0], host_arrays[1],
                                  ell.num_cols)

@@ -73,14 +73,40 @@ def all_gather_objects(obj: Any, max_bytes: int = 1 << 20) -> List[Any]:
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
-                           process_id: Optional[int] = None):
+                           process_id: Optional[int] = None,
+                           local_device_ids=None) -> bool:
     """Multi-host bring-up (replaces init_process_group(backend='nccl'),
-    reference conf_utils.py:19-49). No-op when already initialized or
-    single-host."""
-    if jax.process_count() > 1:
-        return
+    reference conf_utils.py:19-49).
+
+    Must be called BEFORE any jax API that initializes the local backend
+    (jax.devices(), jax.process_count(), any computation) — this function
+    deliberately makes no such call before deciding. Args fall back to
+    torchrun-style env vars, mirroring the reference's LOCAL_RANK /
+    WORLD_SIZE consumption (conf_utils.py:23-27):
+      COORDINATOR_ADDRESS (or MASTER_ADDR:MASTER_PORT), WORLD_SIZE, RANK.
+
+    Returns True when running distributed (initialized now or earlier),
+    False for single-host.
+    """
+    import os
+
     if coordinator_address is None:
-        return  # single host
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+        coordinator_address = os.environ.get("COORDINATOR_ADDRESS")
+    if coordinator_address is None and os.environ.get("MASTER_ADDR"):
+        port = os.environ.get("MASTER_PORT", "1234")
+        coordinator_address = f"{os.environ['MASTER_ADDR']}:{port}"
+    if num_processes is None and os.environ.get("WORLD_SIZE"):
+        num_processes = int(os.environ["WORLD_SIZE"])
+    if process_id is None and os.environ.get("RANK"):
+        process_id = int(os.environ["RANK"])
+    if coordinator_address is None:
+        return False  # single host
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id,
+            local_device_ids=local_device_ids)
+    except RuntimeError as exc:
+        if "already" not in str(exc).lower():
+            raise
+    return True

@@ -234,6 +234,9 @@ class Retriever(BiEncoder):
     def load_index(self, index_file: Optional[str] = None,
                    data_file: Optional[str] = None,
                    index_type: Union[None, str, IndexType] = None):
+        if index_file is None:
+            raise ValueError(
+                "load_index requires index_file (a path or glob)")
         if index_type is None:
             if index_file.endswith(".pt") or index_file.endswith(".npy"):
                 index_type = IndexType.DENSE
