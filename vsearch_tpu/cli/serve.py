@@ -24,6 +24,9 @@ def main(argv=None):
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--default_k", type=int, default=10)
+    ap.add_argument("--mesh_dp", type=int, default=0,
+                    help="shard the index (and beta rerank) over this "
+                         "many devices; 0 = single device")
     args = ap.parse_args(argv)
 
     from ..serve import serve
@@ -33,6 +36,11 @@ def main(argv=None):
         retriever.load_index(index_file=args.index_file,
                              data_file=args.data_file,
                              index_type=args.index_type)
+    if args.mesh_dp:
+        from ..parallel.mesh import make_mesh
+
+        retriever.to_mesh(make_mesh(dp=args.mesh_dp, tp=1))
+        logger.info("serving sharded over %d devices", args.mesh_dp)
     server = serve(retriever, host=args.host, port=args.port,
                    default_k=args.default_k)
     try:

@@ -48,6 +48,32 @@ class TextEncoderBase:
         self.tokenizer = tokenizer
         self._buckets = length_buckets(config.max_len)
         self._fn_cache: Dict = {}
+        self._mesh = None  # (Mesh, axis_name) once to_mesh is called
+
+    def to_mesh(self, mesh, axis_name: str = "dp"):
+        """Shard embed batches over a mesh axis: every jitted forward
+        receives batch rows placed with P(axis_name) and GSPMD
+        partitions the whole encoder data-parallel. Used by the sharded
+        beta-search rerank (candidates are per-query disjoint)."""
+        self._mesh = (mesh, axis_name)
+        self._fn_cache.clear()
+        return self
+
+    def _place(self, arr):
+        """Device placement for a [B, L] batch array (mesh-aware)."""
+        import jax.numpy as jnp
+
+        if self._mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh, axis = self._mesh
+        n_shards = mesh.shape[axis]
+        if arr.shape[0] % n_shards:
+            raise ValueError(
+                f"batch_size {arr.shape[0]} not divisible by mesh axis "
+                f"'{axis}' size {n_shards}")
+        return jax.device_put(arr, NamedSharding(mesh, P(axis)))
 
     # -- tokenization ------------------------------------------------------
     def encode(self, texts: Union[str, List[str]],
@@ -96,9 +122,9 @@ class TextEncoderBase:
                 self._fn_cache[key] = make_fn(seq_len)
             out = self._fn_cache[key](
                 self.variables,
-                jnp.asarray(enc["input_ids"]),
-                jnp.asarray(enc["token_type_ids"]),
-                jnp.asarray(enc["attention_mask"]),
+                self._place(enc["input_ids"]),
+                self._place(enc["token_type_ids"]),
+                self._place(enc["attention_mask"]),
             )
             outs.append(np.asarray(out[: len(chunk)]))
         return np.concatenate(outs, axis=0)

@@ -302,9 +302,9 @@ class VDREncoder(TextEncoderBase):
             if key not in self._fn_cache:
                 self._fn_cache[key] = make(enc["input_ids"].shape[1])
             c, v = self._fn_cache[key](
-                self.variables, jnp.asarray(enc["input_ids"]),
-                jnp.asarray(enc["token_type_ids"]),
-                jnp.asarray(enc["attention_mask"]))
+                self.variables, self._place(enc["input_ids"]),
+                self._place(enc["token_type_ids"]),
+                self._place(enc["attention_mask"]))
             outs_c.append(np.asarray(c[: len(chunk)]))
             outs_v.append(np.asarray(v[: len(chunk)]))
         return np.concatenate(outs_c), np.concatenate(outs_v)

@@ -49,6 +49,20 @@ class Retriever(BiEncoder):
         self.index_type: Optional[IndexType] = (
             index.index_type if index is not None else None)
 
+    def to_mesh(self, mesh, axis_name: str = "dp"):
+        """Distribute serving over a device mesh: index rows shard
+        (per-shard top-k merged over ICI) and the beta-rerank candidate
+        re-embedding runs data-parallel over the same axis. Goes beyond
+        the reference, which serves from one device
+        (reference index.py:163-179)."""
+        if self.index is not None and hasattr(self.index, "to_mesh"):
+            self.index.to_mesh(mesh, axis_name)
+        for enc in {id(self.encoder_q): self.encoder_q,
+                    id(self.encoder_p): self.encoder_p}.values():
+            if hasattr(enc, "to_mesh"):
+                enc.to_mesh(mesh, axis_name)
+        return self
+
     # -- query processing (reference retriever.py:74-104) ------------------
     def process_query(self, queries, dropout: float = 0.0,
                       a: Optional[int] = None, batch_size: int = 32,
