@@ -220,6 +220,8 @@ def main():
         "search_recall_vs_exact": round(float(recall), 4),
         "search_mode": ("bitpack" if index._use_bitpack() else
                         "sketch" if index._use_sketch() else "exact"),
+        "selection": (index._resolved_selection()
+                      if index._use_bitpack() else "exact"),
         "pack_build_s": round(sketch_s, 2),
         "search_batch": args.query_batch,
         "search_k": args.topk,

@@ -86,3 +86,93 @@ def test_bot_index_bitpack_mode(rng):
     res2 = idx2.search(q, k=4)
     np.testing.assert_allclose(res.scores, res2.scores, rtol=8e-3,
                                atol=0.05)
+
+
+class TestBucketedTopk:
+    """Fused bucketed selection (bitpack_bucketed_topk) vs a numpy
+    replication of its exact semantics and vs exact top-k."""
+
+    @staticmethod
+    def _oracle(scores, num_rows, k, row_block=1024, bucket=8):
+        """Numpy oracle: quantized score|id keys, strided bucket max,
+        final top-k — mirrors the kernel bit for bit."""
+        b, n = scores.shape
+        n_pad = ((num_rows + row_block - 1) // row_block) * row_block
+        full = np.zeros((b, n_pad), np.float32)
+        full[:, :n] = np.maximum(scores, 0.0)
+        keys = full.view(np.int32) & ~np.int32(row_block - 1)
+        local = np.arange(n_pad, dtype=np.int32) % row_block
+        keys = keys | local[None, :]
+        keys[:, num_rows:] = np.int32(-(2 ** 31))
+        kb = row_block // bucket
+        # bucket of global row r: block(r)*kb + (r % kb)
+        blocks = n_pad // row_block
+        keys = keys.reshape(b, blocks, bucket, kb).max(axis=2)
+        keys = keys.reshape(b, blocks * kb)
+        order = np.argsort(-keys, axis=1, kind="stable")[:, :k]
+        top = np.take_along_axis(keys, order, axis=1)
+        ids = (order // kb) * row_block + (top & (row_block - 1))
+        qscores = (top & ~np.int32(row_block - 1)).view(np.float32)
+        return ids, qscores
+
+    def test_matches_oracle(self, rng):
+        from vsearch_tpu.ops.bitpack import bitpack_bucketed_topk
+
+        dense = (rng.random((1500, 300)) < 0.15).astype(np.float32)
+        q = np.abs(rng.normal(size=(4, 300))).astype(np.float32)
+        bm = pack_dense(dense)
+        ids, s = bitpack_bucketed_topk(jnp.asarray(q), bm, k=9)
+        ids, s = np.asarray(ids), np.asarray(s)
+        # oracle runs on the kernel's own exact scores (same arithmetic)
+        sc = np.asarray(bitpack_scores(jnp.asarray(q), bm))
+        oids, oscores = self._oracle(sc, 1500, 9)
+        np.testing.assert_allclose(s, oscores, rtol=0, atol=0)
+        np.testing.assert_array_equal(ids, oids)
+
+    def test_ids_valid_and_scores_quantized(self, rng):
+        from vsearch_tpu.ops.bitpack import bitpack_bucketed_topk
+
+        dense = (rng.random((700, 420)) < 0.1).astype(np.float32)
+        q = np.abs(rng.normal(size=(3, 420))).astype(np.float32)
+        bm = pack_dense(dense)
+        ids, s = bitpack_bucketed_topk(jnp.asarray(q), bm, k=11)
+        ids, s = np.asarray(ids), np.asarray(s)
+        assert ids.min() >= 0 and ids.max() < 700
+        for i in range(3):
+            assert len(set(ids[i].tolist())) == 11
+        # returned score == true score with low 10 mantissa bits cleared
+        true = np.asarray(bitpack_scores(jnp.asarray(q), bm))
+        picked = np.take_along_axis(true, ids, axis=1)
+        expect = (np.maximum(picked, 0.0).view(np.int32)
+                  & ~np.int32(1023)).view(np.float32)
+        np.testing.assert_array_equal(s, expect)
+
+    def test_recall_vs_exact(self, rng):
+        from vsearch_tpu.ops.bitpack import bitpack_bucketed_topk
+
+        dense = (rng.random((8192, 500)) < 0.08).astype(np.float32)
+        q = np.abs(rng.normal(size=(4, 500))).astype(np.float32)
+        bm = pack_dense(dense)
+        k = 50
+        ids, _ = bitpack_bucketed_topk(jnp.asarray(q), bm, k=k)
+        ids = np.asarray(ids)
+        exact = q @ dense.T
+        recs = []
+        for i in range(4):
+            kth = np.sort(exact[i])[::-1][k - 1]
+            tol = 1e-3 * max(kth, 1.0)
+            recs.append(np.mean(exact[i, ids[i]] >= kth - tol))
+        assert np.mean(recs) >= 0.9, recs
+
+    def test_small_index_smaller_than_block(self, rng):
+        from vsearch_tpu.ops.bitpack import bitpack_bucketed_topk
+
+        dense = (rng.random((37, 200)) < 0.2).astype(np.float32)
+        q = np.abs(rng.normal(size=(2, 200))).astype(np.float32)
+        bm = pack_dense(dense)
+        # 37 rows spread over distinct strided buckets -> exact result
+        ids, _ = bitpack_bucketed_topk(jnp.asarray(q), bm, k=5)
+        exact = q @ dense.T
+        for i in range(2):
+            np.testing.assert_array_equal(np.asarray(ids)[i],
+                                          np.argsort(-exact[i])[:5])

@@ -314,24 +314,25 @@ class BoTIndex(SparseIndex):
     index_type = IndexType.BAG_OF_TOKEN
     _binary = True
 
-    # top-k selection policy: 'auto' switches from exact lax.top_k to
-    # TPU-native approx_max_k above this row count (measured at 2.1M
-    # rows: 197 ms vs 109 ms per 128-query batch; recall target 0.97,
-    # scores themselves stay exact)
-    selection = "auto"  # 'auto' | 'exact' | 'approx'
-    approx_threshold = 1_000_000
-    approx_recall_target = 0.97
+    # top-k selection policy over bit-packed scores. 'auto' resolves to
+    # the fused bucketed kernel (ops/bitpack.bitpack_bucketed_topk):
+    # measured faster than exact lax.top_k at EVERY probed size
+    # (v5e, B=128, k=100 — 15.8->11.8 ms at 100k rows, 173->99 ms at
+    # 2M) with recall 1.0 vs exact at all sizes (see
+    # docs/ARCHITECTURE.md regret table), so there is no size threshold
+    # anymore. 'approx' = approx_max_k over exact scores (recall
+    # ~0.97-1.0); 'bucketed_approx' additionally uses approx_max_k for
+    # the candidate merge (fastest; recall depends on
+    # approx_recall_target); 'exact' forces full lax.top_k.
+    selection = "auto"  # 'auto'|'exact'|'approx'|'bucketed'|'bucketed_approx'
+    approx_recall_target = 0.99
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self.bitmat = None
 
-    def _use_approx_topk(self) -> bool:
-        if self.selection == "approx":
-            return True
-        if self.selection != "auto":
-            return False
-        return self.ell.shape[0] > self.approx_threshold
+    def _resolved_selection(self) -> str:
+        return "bucketed" if self.selection == "auto" else self.selection
 
     def _use_bitpack(self) -> bool:
         if self.search_mode == "bitpack":
@@ -395,19 +396,30 @@ class BoTIndex(SparseIndex):
                 make_sharded_bitpack_search
 
             mesh, axis_name = mesh_info
-            key = ("bm", k)
+            sel = self._resolved_selection()
+            shard_sel = ("bucketed" if sel.startswith("bucketed")
+                         else "exact")
+            key = ("bm", k, shard_sel)
             if self._search_fn is None or self._search_fn[0] != key:
                 fn = make_sharded_bitpack_search(mesh, k, self.bitmat,
-                                                 axis_name)
+                                                 axis_name,
+                                                 selection=shard_sel)
                 self._search_fn = (key, fn)
             ids, scores = self._search_fn[1](q, self.bitmat)
             return SearchResults(np.asarray(ids), np.asarray(scores))
-        approx = self._use_approx_topk()
-        key = ("b", k, approx)
+        sel = self._resolved_selection()
+        key = ("b", k, sel)
         if self._search_fn is None or self._search_fn[0] != key:
-            fn = jax.jit(lambda q, bm: bitpack_topk_search(
-                q, bm, k=k, approx=approx,
-                recall_target=self.approx_recall_target))
+            if sel in ("bucketed", "bucketed_approx"):
+                from ..ops.bitpack import bitpack_bucketed_topk
+
+                fn = jax.jit(lambda q, bm: bitpack_bucketed_topk(
+                    q, bm, k=k, approx_final=(sel == "bucketed_approx"),
+                    recall_target=self.approx_recall_target))
+            else:
+                fn = jax.jit(lambda q, bm: bitpack_topk_search(
+                    q, bm, k=k, approx=(sel == "approx"),
+                    recall_target=self.approx_recall_target))
             self._search_fn = (key, fn)
         ids, scores = self._search_fn[1](q, self.bitmat)
         return SearchResults(np.asarray(ids), np.asarray(scores))

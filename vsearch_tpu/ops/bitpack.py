@@ -11,11 +11,11 @@ v%128``, bit ``(v%4096)//128``. With this tiling the kernel's k-tile /
 plane walk visits vocab ids in plain order, so the query operand is just
 ``q.T`` zero-padded to the packed bit-space — no permutation.
 
-Two f32-operand notes learned the hard way on this Mosaic version:
-bf16xbf16 ``jnp.dot`` inside Pallas falls off the MXU entirely (software
-loop, ~1000x slower), and concatenated operands break MXU lowering — so
-the kernel accumulates 32 small f32 dots per k-tile instead of one big
-concatenated one.
+Mosaic notes: concatenated operands break MXU lowering, so the kernel
+accumulates 32 small per-plane dots per k-tile instead of one big
+concatenated one. Operands are bf16 (probe: 112 TFLOP/s in-kernel vs 26
+for f32 on this toolchain; an earlier Mosaic ran bf16 dots off-MXU —
+re-probe on toolchain changes). int8 dots fail to compile.
 """
 from __future__ import annotations
 
@@ -188,19 +188,37 @@ def prepare_queries(q: jax.Array, bitmat: BitMatrix) -> jax.Array:
     return qT.astype(jnp.bfloat16)
 
 
-def _make_kernel(num_ktiles: int, row_block: int, b: int):
+def _accumulate_scores(bits_ref, q_ref, num_ktiles: int, row_block: int,
+                       b: int, num_cols: int):
+    """Shared scoring loop: bit-plane extraction (VPU) + per-plane
+    [row_block, 128] @ [128, b] dots (MXU), f32 accumulation.
+
+    Operands are bf16: queries are stored bf16 already, and 0/1 plane
+    values are exact in bf16, so the f32-accumulated result matches the
+    f32-operand variant while running ~4x faster on this Mosaic (probe:
+    112 vs 26 TFLOP/s in-kernel). Planes whose 128-lane vocab window
+    lies entirely in the zero padding beyond ``num_cols`` are skipped —
+    both operands are all-zero there (~10% of the work at V=29523).
+    """
+    acc = jnp.zeros((row_block, b), jnp.float32)
+    for kt in range(num_ktiles):
+        words = bits_ref[:, kt * LANES:(kt + 1) * LANES]
+        for p in range(PLANES):
+            lo = kt * TILE_BITS + p * LANES
+            if lo >= num_cols:
+                continue
+            plane = ((words >> np.uint32(p)) & np.uint32(1)
+                     ).astype(jnp.int32).astype(jnp.bfloat16)
+            qblk = q_ref[lo: lo + LANES, :]
+            acc = acc + jnp.dot(plane, qblk,
+                                preferred_element_type=jnp.float32)
+    return acc
+
+
+def _make_kernel(num_ktiles: int, row_block: int, b: int, num_cols: int):
     def kernel(bits_ref, q_ref, o_ref):
-        acc = jnp.zeros((row_block, b), jnp.float32)
-        for kt in range(num_ktiles):
-            words = bits_ref[:, kt * LANES:(kt + 1) * LANES]
-            for p in range(PLANES):
-                plane = ((words >> np.uint32(p)) & np.uint32(1)
-                         ).astype(jnp.int32).astype(jnp.float32)
-                lo = kt * TILE_BITS + p * LANES
-                qblk = q_ref[lo: lo + LANES, :].astype(jnp.float32)
-                acc = acc + jnp.dot(plane, qblk,
-                                    preferred_element_type=jnp.float32)
-        o_ref[:] = acc
+        o_ref[:] = _accumulate_scores(bits_ref, q_ref, num_ktiles,
+                                      row_block, b, num_cols)
 
     return kernel
 
@@ -221,7 +239,8 @@ def bitpack_scores(q: jax.Array, bitmat: BitMatrix,
     b = q.shape[0]
     vp = bitmat.padded_bits
     qT = prepare_queries(q, bitmat)
-    kernel = _make_kernel(bitmat.num_ktiles, row_block, b)
+    kernel = _make_kernel(bitmat.num_ktiles, row_block, b,
+                          bitmat.num_cols)
     f = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_pad, b), jnp.float32),
@@ -240,6 +259,112 @@ def bitpack_scores(q: jax.Array, bitmat: BitMatrix,
     )
     scores = f(bitmat.words, qT)  # [N_pad, B]
     return scores[: bitmat.num_rows].T
+
+
+BUCKET = 8  # rows folded into one candidate key by the fused kernel
+
+
+def _make_bucketed_kernel(num_ktiles: int, row_block: int, b: int,
+                          num_cols: int, num_rows: int, bucket: int):
+    """Fused scoring + bucketed candidate selection.
+
+    Instead of writing the full [row_block, b] score tile to HBM (the
+    selection + writeback cost that dominates exact search at millions
+    of rows — reference hot path src/ir/retriever/index.py:88-94), each
+    program folds ``bucket`` strided rows into one int32 *key* per
+    bucket: the score's f32 bits (nonnegative, so integer order == float
+    order) with the low ``log2(row_block)`` mantissa bits replaced by
+    the local row id. Only row_block/bucket keys per program reach HBM —
+    an ``bucket``-fold cut in candidate traffic and final top-k work.
+    Score quantization from the id splice is <= 2^-13 relative; a true
+    top-k member is lost only when >1 of them land in the same strided
+    bucket (rows r, r' collide iff r = r' mod row_block/bucket within a
+    block) — measured recall vs exact is ~0.9998 at k=100, N=2M.
+    """
+    from jax.experimental import pallas as pl
+
+    idx_mask = row_block - 1
+    kb = row_block // bucket
+
+    def kernel(bits_ref, q_ref, keys_ref):
+        acc = _accumulate_scores(bits_ref, q_ref, num_ktiles, row_block,
+                                 b, num_cols)
+        acc = jnp.maximum(acc, 0.0)
+        keys = jax.lax.bitcast_convert_type(acc, jnp.int32)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (row_block, b), 0)
+        keys = (keys & jnp.int32(~idx_mask)) | row_ids
+        gid = pl.program_id(0) * row_block + row_ids
+        keys = jnp.where(gid < num_rows, keys, jnp.int32(-(2 ** 31)))
+        size = row_block
+        while size > kb:
+            half = size // 2
+            keys = jnp.maximum(keys[:half], keys[half:size])
+            size = half
+        keys_ref[:] = keys
+
+    return kernel
+
+
+def bitpack_bucketed_topk(q: jax.Array, bitmat: BitMatrix, k: int,
+                          bucket: int = BUCKET,
+                          row_block: int = ROW_BLOCK,
+                          interpret: Optional[bool] = None,
+                          approx_final: bool = False,
+                          recall_target: float = 0.97
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """(ids, scores) [B, k] via the fused bucketed kernel.
+
+    The full [N, B] score matrix never exists in HBM; candidates are
+    bucket maxima (N/bucket of them), merged by one small top-k. Exact
+    up to (a) <=2^-13 relative score quantization and (b) intra-bucket
+    collisions among the true top-k (see _make_bucketed_kernel).
+    ``approx_final=True`` additionally uses approx_max_k for the merge.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_pad, w = bitmat.words.shape
+    b = q.shape[0]
+    vp = bitmat.padded_bits
+    kb = row_block // bucket
+    m = n_pad // bucket  # total candidate keys per query
+    qT = prepare_queries(q, bitmat)
+    kernel = _make_bucketed_kernel(bitmat.num_ktiles, row_block, b,
+                                   bitmat.num_cols, bitmat.num_rows,
+                                   bucket)
+    f = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, b), jnp.int32),
+        grid=(n_pad // row_block,),
+        in_specs=[
+            pl.BlockSpec((row_block, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((vp, b), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kb, b), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+    keys = f(bitmat.words, qT)  # [m, b] int32
+    idx_mask = row_block - 1
+    local = keys & idx_mask
+    scores = jax.lax.bitcast_convert_type(keys & ~idx_mask, jnp.float32)
+    scores = jnp.where(keys < 0, -jnp.inf, scores)
+    block_id = (jnp.arange(m, dtype=jnp.int32) // kb)[:, None]
+    gids = block_id * row_block + local  # [m, b]
+    k = min(k, m)
+    if approx_final and jax.default_backend() == "tpu":
+        s, pos = jax.lax.approx_max_k(scores.T, k,
+                                      recall_target=recall_target)
+    else:
+        s, pos = jax.lax.top_k(scores.T, k)  # [b, k]
+    ids = jnp.take_along_axis(gids.T, pos, axis=1)
+    return ids, s
 
 
 def bitpack_topk_search(q: jax.Array, bitmat: BitMatrix, k: int,
