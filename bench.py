@@ -97,6 +97,10 @@ def main():
     ap.add_argument("--query-batch", type=int, default=128)
     ap.add_argument("--topk", type=int, default=100)
     ap.add_argument("--skip-embed-bench", action="store_true")
+    ap.add_argument("--scale-rows", type=int, default=2_000_000,
+                    help="extra wiki21m-shard-scale search bench on a "
+                         "synthetic device-resident binary index "
+                         "(TPU only; 0 disables)")
     args = ap.parse_args()
 
     corpus = make_corpus(args.num_passages)
@@ -180,6 +184,74 @@ def main():
         recalls.append(float(np.mean(ok)))
     recall = float(np.mean(recalls))
 
+    # ---- wiki21m-shard-scale search (synthetic binary index, device) ----
+    # the 200k corpus above exercises the full production path
+    # (tokenize -> ELL -> pack); this extra measures the flagship kernel
+    # at one-wiki21m/8-shard scale, where the reference's CUDA path was
+    # never published — recall is vs exact top_k over the same scores
+    scale_qps, scale_recall = 0.0, None
+    if args.scale_rows and jax.default_backend() == "tpu":
+        from vsearch_tpu.ops.bitpack import (ROW_BLOCK, BitMatrix,
+                                             bitpack_bucketed_topk,
+                                             bitpack_scores)
+
+        n_pad = -(-args.scale_rows // ROW_BLOCK) * ROW_BLOCK
+        vp = -(-v // 4096) * 4096
+        nw = vp // 32
+        keep = 0
+        last_tile = (vp // 4096 - 1)
+        for p in range(32):
+            if last_tile * 4096 + p * 128 < v:
+                keep |= 1 << p
+        chunk = 262_144
+        n_cpad = -(-n_pad // chunk) * chunk
+
+        from functools import partial
+
+        @partial(jax.jit, donate_argnums=0)
+        def fill(buf, key):
+            def body(i, carry):
+                buf, key = carry
+                k1, k2, k3 = jax.random.split(
+                    jax.random.fold_in(key, i), 3)
+                a = jax.random.bits(k1, (chunk, nw), jnp.uint32)
+                b = jax.random.bits(k2, (chunk, nw), jnp.uint32)
+                c = jax.random.bits(k3, (chunk, nw), jnp.uint32)
+                w = (a & b & c & (a >> 1) & (b >> 2) & (c >> 3)
+                     & (a >> 5) & (b >> 7))
+                col = jnp.arange(nw, dtype=jnp.int32)
+                w = jnp.where((col >= last_tile * 128)[None, :],
+                              w & jnp.uint32(keep), w)
+                return jax.lax.dynamic_update_slice(
+                    buf, w, (i * chunk, 0)), key
+
+            return jax.lax.fori_loop(0, n_cpad // chunk, body,
+                                     (buf, key))[0]
+
+        words = fill(jnp.zeros((n_cpad, nw), jnp.uint32),
+                     jax.random.PRNGKey(0))[:n_pad]
+        bm = BitMatrix(words=words, num_rows=args.scale_rows,
+                       num_cols=v)
+        fn = jax.jit(lambda q, b: bitpack_bucketed_topk(
+            q, b, k=args.topk))
+        r = fn(chunks[0], bm)
+        float(r[1][0, 0])
+        t0 = time.perf_counter()
+        for qd in chunks:
+            r = fn(qd, bm)
+        float(r[1][0, 0])
+        scale_qps = nq / (time.perf_counter() - t0)
+        # selection recall vs exact top_k over the same kernel scores
+        sc8 = np.asarray(jax.jit(
+            lambda q, b: bitpack_scores(q, b)[:8])(chunks[0], bm))
+        ids8 = np.asarray(fn(chunks[0], bm)[0])[:8]
+        kth = np.sort(sc8, axis=1)[:, ::-1][:, args.topk - 1]
+        recs = [np.mean(sc8[i, ids8[i]] >=
+                        kth[i] - 1e-3 * max(kth[i], 1.0))
+                for i in range(8)]
+        scale_recall = float(np.mean(recs))
+        del words, bm
+
     # ---- neural embed throughput (bert-base VDR forward, bf16) ----------
     embed_ps = 0.0
     if not args.skip_embed_bench:
@@ -228,6 +300,10 @@ def main():
         "index_rows": int(ell.shape[0]),
         "index_nnz_pad": int(ell.nnz_pad),
         "embed_passages_per_s": round(embed_ps, 1),
+        "scale_rows": args.scale_rows,
+        "scale_search_qps": round(scale_qps, 1),
+        "scale_search_recall": (None if scale_recall is None
+                                else round(scale_recall, 4)),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))

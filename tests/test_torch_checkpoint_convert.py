@@ -112,3 +112,21 @@ def test_converted_model_end_to_end(torch_ckpt_dir):
     e1 = ir.encoder_q.embed(["green tea"])
     e2 = ir2.encoder_q.embed(["green tea"])
     np.testing.assert_allclose(e1, e2, rtol=1e-5, atol=1e-6)
+
+
+def test_convert_checkpoint_cli(torch_ckpt_dir, tmp_path):
+    """cli.convert_checkpoint writes a native dir that loads without
+    torch-era files and scores identically to the on-the-fly path."""
+    from vsearch_tpu.cli.convert_checkpoint import main
+
+    ckpt_dir = str(torch_ckpt_dir[0])
+    out = tmp_path / "native"
+    main(["--torch_dir", ckpt_dir, "--out", str(out)])
+    assert (out / "vsearch_tpu_config.json").exists() or any(
+        p.suffix == ".json" for p in out.iterdir())
+    native = Retriever.from_pretrained(str(out))
+    direct = Retriever.from_pretrained(ckpt_dir)
+    texts = ["green tea is a drink", "mars is red"]
+    np.testing.assert_allclose(native.encoder_q.embed(texts),
+                               direct.encoder_q.embed(texts),
+                               rtol=1e-5, atol=1e-5)

@@ -27,6 +27,12 @@ def main(argv=None):
     ap.add_argument("--mesh_dp", type=int, default=0,
                     help="shard the index (and beta rerank) over this "
                          "many devices; 0 = single device")
+    ap.add_argument("--selection", default=None,
+                    choices=["auto", "exact", "approx", "bucketed",
+                             "bucketed_approx"],
+                    help="top-k selection policy (see "
+                         "index.BoTIndex.selection; default 'auto' = "
+                         "fused bucketed kernel)")
     args = ap.parse_args(argv)
 
     from ..serve import serve
@@ -36,6 +42,8 @@ def main(argv=None):
         retriever.load_index(index_file=args.index_file,
                              data_file=args.data_file,
                              index_type=args.index_type)
+        if args.selection:
+            retriever.index.selection = args.selection
     if args.mesh_dp:
         from ..parallel.mesh import make_mesh
 

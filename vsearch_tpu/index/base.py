@@ -84,6 +84,13 @@ class DenseIndex:
 
     index_type = IndexType.DENSE
 
+    # 'exact' = lax.top_k (default — the reference's semantics);
+    # 'approx' = TPU-native approx_max_k at approx_recall_target (the
+    # right choice for multi-million-row dense serving, where exact
+    # selection dominates the fused matmul)
+    selection = "exact"
+    approx_recall_target = 0.99
+
     def __init__(self, index_file: Optional[str] = None,
                  data_file: Optional[str] = None, fp16: bool = True,
                  low_memory: bool = False, dtype=jnp.bfloat16):
@@ -179,12 +186,16 @@ class DenseIndex:
                 self._search_fn = (k, fn)
             ids, scores = self._search_fn[1](q, self.vector)
             return SearchResults(np.asarray(ids), np.asarray(scores))
-        if self._search_fn is None:
-            self._search_fn = jax.jit(
+        approx = self.selection == "approx"
+        if self._search_fn is None or self._search_fn[0] != approx:
+            fn = jax.jit(
                 lambda q, vec, k: dense_topk_search(
-                    q, vec, k, precision=jax.lax.Precision.DEFAULT),
+                    q, vec, k, precision=jax.lax.Precision.DEFAULT,
+                    approx=approx,
+                    recall_target=self.approx_recall_target),
                 static_argnums=2)
-        ids, scores = self._search_fn(q, self.vector, k)
+            self._search_fn = (approx, fn)
+        ids, scores = self._search_fn[1](q, self.vector, k)
         return SearchResults(np.asarray(ids), np.asarray(scores))
 
     # -- persistence ---------------------------------------------------------

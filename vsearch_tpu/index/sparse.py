@@ -42,11 +42,14 @@ class SparseIndex(DenseIndex):
                  data_file: Optional[str] = None, fp16: bool = True,
                  low_memory: bool = False, shift: int = 0,
                  val_dtype=jnp.bfloat16, block_rows: int = 4096,
-                 search_mode: str = "auto"):
+                 search_mode: str = "auto",
+                 selection: Optional[str] = None):
         self.shift = shift
         self.val_dtype = val_dtype
         self.block_rows = block_rows
         self.search_mode = search_mode  # 'auto' | 'exact' | 'sketch'
+        if selection is not None:  # else the class default applies
+            self.selection = selection
         self.ell: Optional[ELLMatrix] = None
         self.sketch = None  # [N, d] bf16
         self.bitproxy = None  # support-bits BitMatrix (bitproxy mode)

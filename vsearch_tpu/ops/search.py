@@ -16,6 +16,8 @@ import jax.numpy as jnp
 
 def dense_topk_search(q: jax.Array, vectors: jax.Array, k: int,
                       precision=jax.lax.Precision.HIGHEST,
+                      approx: bool = False,
+                      recall_target: float = 0.99,
                       ) -> Tuple[jax.Array, jax.Array]:
     """scores = q @ vectors.T, then top-k. Returns (ids, scores) [B, k].
 
@@ -23,6 +25,10 @@ def dense_topk_search(q: jax.Array, vectors: jax.Array, k: int,
     in f32 via ``preferred_element_type`` so MXU tiles cleanly. With bf16
     inputs ``precision`` is a no-op; with f32 inputs HIGHEST keeps full
     f32 accuracy (at 3x MXU passes) — pass DEFAULT for speed.
+
+    ``approx=True`` uses TPU-native ``approx_max_k`` for the selection
+    (bucketed max; handles negative scores, unlike the bit-packed
+    kernel's key trick). Off-TPU it falls back to exact top_k.
     """
     scores = jax.lax.dot_general(
         q, vectors,
@@ -30,7 +36,11 @@ def dense_topk_search(q: jax.Array, vectors: jax.Array, k: int,
         preferred_element_type=jnp.float32,
         precision=precision,
     )
-    top_scores, top_ids = jax.lax.top_k(scores, k)
+    if approx and jax.default_backend() == "tpu":
+        top_scores, top_ids = jax.lax.approx_max_k(
+            scores, k, recall_target=recall_target)
+    else:
+        top_scores, top_ids = jax.lax.top_k(scores, k)
     return top_ids, top_scores
 
 

@@ -136,14 +136,14 @@ def binary_proxy_search(q: jax.Array, ell: ELLMatrix, bitmat, k: int,
     candidate recall is semantically grounded, unlike a random JL sketch.
     Stage 2 exactly re-scores the top candidates from the weighted ELL.
     """
-    from .bitpack import bitpack_scores
+    from .bitpack import BUCKET, bitpack_bucketed_topk
 
-    s1 = bitpack_scores(q, bitmat, interpret=interpret)  # [B, N]
-    if jax.default_backend() == "tpu":
-        _, cand = jax.lax.approx_max_k(s1, num_candidates,
-                                       recall_target=0.95)
-    else:
-        _, cand = jax.lax.top_k(s1, num_candidates)
+    # fused bucketed selection: the [B, N] support-score matrix never
+    # reaches HBM; candidate count is capped by the bucket structure
+    num_candidates = min(num_candidates,
+                         bitmat.words.shape[0] // BUCKET)
+    cand, _ = bitpack_bucketed_topk(q, bitmat, k=num_candidates,
+                                    interpret=interpret)
     return exact_rerank(q, ell, cand, k)
 
 

@@ -112,10 +112,8 @@ def make_sharded_bitpack_search(mesh: Mesh, k: int, bitmat,
     scoring+selection kernel per shard (the [rows_per, B] score tile
     never reaches HBM — measured faster than exact at every probed
     size, recall 1.0); 'exact' scores then lax.top_k."""
-    from ..ops.bitpack import (BitMatrix, bitpack_bucketed_topk,
+    from ..ops.bitpack import (BUCKET, BitMatrix, bitpack_bucketed_topk,
                                bitpack_scores)
-
-    from ..ops.bitpack import BUCKET
 
     shards = mesh.shape[axis_name]
     n_pad = bitmat.words.shape[0]
