@@ -108,3 +108,34 @@ def test_trainer_ret_negatives(train_file, tmp_path):
     trainer = RetrieverTrainer(retriever, cfg, [ds])
     trainer.run_train()
     assert int(trainer.state.step) == 6
+
+
+def test_training_improves_retrieval(train_file, tmp_path):
+    """Learning quality gate: after contrastive training, alpha search
+    must rank each query's positive passage top-1 (the reference's only
+    quality monitor is eyeballing InfoCard/acc@1 — this makes the
+    'training actually learns retrieval' property a hard test)."""
+    path, _ = train_file
+    ds = BiEncoderDataset(path)
+    retriever = make_retriever()
+    corpus = [f"{w} is the answer about {w}"
+              for w in ["tea", "mars", "einstein", "dog", "river"]]
+    queries = [f"what is {w}"
+               for w in ["tea", "mars", "einstein", "dog", "river"]]
+
+    def top1_accuracy():
+        retriever.build_index(corpus, index_type="sparse")
+        res = retriever.retrieve(queries, k=1)
+        return float(np.mean(np.asarray(res.ids)[:, 0]
+                             == np.arange(len(queries))))
+
+    cfg = TrainConfig(batch_size=8, num_train_epochs=40,
+                      learning_rate=2e-3, num_warmup_epochs=2,
+                      num_epoch_to_save=1000, hard_negatives=1,
+                      other_negatives=0, log_batch_step=10000,
+                      output_dir=str(tmp_path), seed=11)
+    trainer = RetrieverTrainer(retriever, cfg, [ds])
+    trainer.run_train()
+    # (seeded baseline before training: 0.6 from raw lexical overlap)
+    acc = top1_accuracy()
+    assert acc == 1.0, f"trained top-1 accuracy {acc} < 1.0"

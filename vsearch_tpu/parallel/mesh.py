@@ -42,5 +42,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch):
     """Place a pytree of host arrays with batch-dim sharding."""
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sh), batch)
+    dp = mesh.shape.get("dp", 1)
+
+    def place(x):
+        if dp > 1 and x.shape[0] % dp != 0:
+            raise ValueError(
+                f"batch dim {x.shape[0]} is not divisible by the mesh's "
+                f"dp={dp}; pick a batch size that is a multiple of dp "
+                f"(SPMD shards the batch across the dp axis)")
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(place, batch)

@@ -181,6 +181,10 @@ class RetrieverTrainer:
                            cfg.num_train_epochs + 1):
             logger.info("***** Epoch %d *****", epoch)
             self._train_epoch(epoch, it)
+        # the donated train state owns the live weights; without this the
+        # encoders keep the stale (deleted, on donating backends) params
+        # from the last checkpoint sync
+        self._sync_params_to_retriever()
         logger.info("***** Training Finished *****")
 
     def _make_device_batch(self, samples, epoch: int, iteration: int):
