@@ -46,6 +46,7 @@ class TrainConfig:
     sym_loss: bool = True
     semi: bool = True
     scaled_loss: bool = False
+    temperature: float = 1.0  # softmax temperature (loss_utils.py:358)
     # negatives
     hard_negatives: int = 1
     other_negatives: int = 0
@@ -104,6 +105,7 @@ class RetrieverTrainer:
         loss_cfg = VDRLossConfig(
             semi=train_cfg.semi, sym_loss=train_cfg.sym_loss,
             scaled_loss=train_cfg.scaled_loss,
+            temperature=train_cfg.temperature,
             topk=getattr(enc_q.config, "topk", 768) or 768,
             cts_mask=train_cfg.cts_mask,
             cts_mask_weight=train_cfg.cts_mask_weight,
