@@ -131,6 +131,14 @@ def main():
     steps = int(trainer.state.step)
     acc_after = top1_acc()
 
+    # beta search: tokenizer-only binary index + neural rerank — the
+    # SVDR semi-parametric path the 4-term loss trains for
+    retriever.build_index(passages, index_type="bag_of_token",
+                          batch_size=64)
+    res = retriever.retrieve(queries, k=10, rerank=True, batch_size=64)
+    acc_beta = float(np.mean(np.asarray(res.ids)[:, 0]
+                             == np.arange(len(queries))))
+
     out = {
         "metric": "tpu_train_demo",
         "steps": steps,
@@ -139,6 +147,7 @@ def main():
         "queries_per_s": round(steps * args.batch_size / train_s, 1),
         "top1_before": acc_before,
         "top1_after": acc_after,
+        "top1_beta_after": acc_beta,
         "num_topics": args.num_topics,
         "model": f"{args.layers}L-{args.hidden}H-30522V",
         "device": str(jax.devices()[0]),

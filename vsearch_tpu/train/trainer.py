@@ -241,6 +241,9 @@ class RetrieverTrainer:
             rng = jax.random.PRNGKey(
                 cfg.seed * 1000003 + epoch * 10007 + iteration)
             self.state, metrics = self._step_fn(self.state, batch, rng)
+            # one host sync for all step metrics (3 separate float()
+            # fetches cost 3 round trips on remote backends)
+            metrics = jax.device_get(metrics)
             loss = float(metrics["loss"])
             c_semi = float(metrics["correct_semiparametric"])
             c_para = float(metrics["correct_parametric"])
