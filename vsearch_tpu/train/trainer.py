@@ -16,6 +16,7 @@ import time
 from typing import Any, Dict, List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.batching import create_biencoder_batch
@@ -230,8 +231,14 @@ class RetrieverTrainer:
 
     def _train_epoch(self, epoch: int, it: MultiSetDataIterator):
         cfg = self.cfg
-        epoch_loss, rolling, correct_1, correct_2 = 0.0, 0.0, 0, 0
         epoch_batches = it.get_max_iterations()
+        # metric sums accumulate ON DEVICE; the host never blocks on a
+        # step's result except at logging points, so consecutive steps
+        # pipeline through JAX's async dispatch (a per-step fetch costs
+        # a full round trip on remote backends)
+        sums = None
+        rolling_sum = None
+        rolling_n = 0
         t0 = time.time()
         for i, (samples, _source) in enumerate(
                 it.iterate_ds_data(epoch=epoch)):
@@ -241,39 +248,41 @@ class RetrieverTrainer:
             rng = jax.random.PRNGKey(
                 cfg.seed * 1000003 + epoch * 10007 + iteration)
             self.state, metrics = self._step_fn(self.state, batch, rng)
-            # one host sync for all step metrics (3 separate float()
-            # fetches cost 3 round trips on remote backends)
-            metrics = jax.device_get(metrics)
-            loss = float(metrics["loss"])
-            c_semi = float(metrics["correct_semiparametric"])
-            c_para = float(metrics["correct_parametric"])
-            epoch_loss += loss
-            rolling += loss
-            correct_1 += c_semi
-            correct_2 += c_para
+            add = lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
+            sums = metrics if sums is None else add(sums, metrics)
+            rolling_sum = (metrics["loss"] if rolling_sum is None
+                           else rolling_sum + metrics["loss"])
+            rolling_n += 1
             n = len(host_batch.q_texts)
             if i % cfg.log_batch_step == 0:
+                m = jax.device_get(metrics)
                 lr = float(self._schedule(int(self.state.step) - 1))
                 logger.info(
                     "Epoch: %d: Step: %d/%d, loss=%.4f, lr=%.6f, "
                     "acc@1[semi]=%.0f/%d acc@1[para]=%.0f/%d "
                     "(%.2f s/step)", epoch, iteration, epoch_batches,
-                    loss, lr, c_semi, n, c_para, n,
+                    float(m["loss"]), lr,
+                    float(m["correct_semiparametric"]), n,
+                    float(m["correct_parametric"]), n,
                     (time.time() - t0) / (i + 1))
                 if self.enc_type == "vdr":
                     self._log_info_card(host_batch)
             if (i + 1) % cfg.train_rolling_loss_step == 0:
                 logger.info("Avg. loss per last %d batches: %f",
                             cfg.train_rolling_loss_step,
-                            rolling / cfg.train_rolling_loss_step)
-                rolling = 0.0
+                            float(rolling_sum) / rolling_n)
+                rolling_sum, rolling_n = None, 0
         if epoch % cfg.num_epoch_to_save == 0:
             self.save_model_checkpoint(str(epoch))
             self.save_train_checkpoint(epoch)
-        if epoch_batches:
-            logger.info("Av Loss per epoch=%f", epoch_loss / epoch_batches)
-        logger.info("epoch total semi correct=%d", correct_1)
-        logger.info("epoch total para correct=%d", correct_2)
+        if sums is not None and epoch_batches:
+            s = jax.device_get(sums)  # one fetch per epoch
+            logger.info("Av Loss per epoch=%f",
+                        float(s["loss"]) / epoch_batches)
+            logger.info("epoch total semi correct=%d",
+                        int(s["correct_semiparametric"]))
+            logger.info("epoch total para correct=%d",
+                        int(s["correct_parametric"]))
 
     # -- info card ---------------------------------------------------------
     def _log_info_card(self, host_batch):
