@@ -66,6 +66,12 @@ class TrainConfig:
     cts_mask_norm: bool = False
     # memory
     remat: bool = False  # rematerialize encoder fwd in backward
+    # input pipeline: batches prepared ahead on a producer thread
+    # (tokenize + host->device upload overlap step compute; a wash on a
+    # single-core host, a win when tokenization has its own cores);
+    # 0 = produce inline. Ignored when ret_negatives is on (mining
+    # must see the current params every batch).
+    prefetch_batches: int = 2
     # logging / bookkeeping
     log_batch_step: int = 100
     train_rolling_loss_step: int = 100
@@ -229,6 +235,63 @@ class RetrieverTrainer:
             batch = shard_batch(self.mesh, batch)
         return batch, b
 
+    def _batches(self, epoch: int, it: MultiSetDataIterator):
+        """Yield (i, iteration, device_batch, host_batch, rng) for one
+        epoch. Without retrieved-negative mining (which must see the
+        current params every batch), production runs on a background
+        thread two batches ahead, overlapping tokenization and
+        host->device uploads with the device's step compute."""
+        cfg = self.cfg
+
+        def produce(i, samples):
+            iteration = it.get_iteration()
+            batch, host_batch = self._make_device_batch(samples, epoch,
+                                                        iteration)
+            rng = jax.random.PRNGKey(
+                cfg.seed * 1000003 + epoch * 10007 + iteration)
+            return i, iteration, batch, host_batch, rng
+
+        if cfg.prefetch_batches < 1 or (
+                cfg.ret_negatives and self.retriever.index is not None):
+            for i, (samples, _source) in enumerate(
+                    it.iterate_ds_data(epoch=epoch)):
+                yield produce(i, samples)
+            return
+
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=cfg.prefetch_batches)
+
+        def worker():
+            try:
+                for i, (samples, _source) in enumerate(
+                        it.iterate_ds_data(epoch=epoch)):
+                    q.put(produce(i, samples))
+            except BaseException as exc:  # surface in the main thread
+                q.put(exc)
+                return
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # unblock a producer stuck on put() if we exited early
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    pass
+                t.join(timeout=0.2)
+
     def _train_epoch(self, epoch: int, it: MultiSetDataIterator):
         cfg = self.cfg
         epoch_batches = it.get_max_iterations()
@@ -240,13 +303,8 @@ class RetrieverTrainer:
         rolling_sum = None
         rolling_n = 0
         t0 = time.time()
-        for i, (samples, _source) in enumerate(
-                it.iterate_ds_data(epoch=epoch)):
-            iteration = it.get_iteration()
-            batch, host_batch = self._make_device_batch(samples, epoch,
-                                                        iteration)
-            rng = jax.random.PRNGKey(
-                cfg.seed * 1000003 + epoch * 10007 + iteration)
+        for i, iteration, batch, host_batch, rng in self._batches(
+                epoch, it):
             self.state, metrics = self._step_fn(self.state, batch, rng)
             add = lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
             sums = metrics if sums is None else add(sums, metrics)
