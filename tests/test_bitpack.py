@@ -60,8 +60,11 @@ def test_bitpack_topk(binary_case):
     ids, scores = bitpack_topk_search(jnp.asarray(q), bm, k=5)
     expect = q @ dense.T
     for i in range(4):
-        np.testing.assert_array_equal(np.asarray(ids)[i],
-                                      np.argsort(-expect[i])[:5])
+        # ids may permute under score ties; compare the score sets
+        got = np.sort(expect[i, np.asarray(ids)[i]])[::-1]
+        np.testing.assert_allclose(got, np.sort(expect[i])[::-1][:5],
+                                   rtol=8e-3, atol=0.05)
+        assert len(set(np.asarray(ids)[i].tolist())) == 5
 
 
 def test_bot_index_bitpack_mode(rng):
@@ -109,11 +112,14 @@ class TestBucketedTopk:
         blocks = n_pad // row_block
         keys = keys.reshape(b, blocks, bucket, kb).max(axis=2)
         keys = keys.reshape(b, blocks * kb)
-        order = np.argsort(-keys, axis=1, kind="stable")[:, :k]
+        # final merge ranks by DECODED score (ties broken by candidate
+        # position, like lax.top_k), not by raw key
+        qscores = (keys & ~np.int32(row_block - 1)).view(np.float32)
+        qscores = np.where(keys < 0, -np.inf, qscores)
+        order = np.argsort(-qscores, axis=1, kind="stable")[:, :k]
         top = np.take_along_axis(keys, order, axis=1)
         ids = (order // kb) * row_block + (top & (row_block - 1))
-        qscores = (top & ~np.int32(row_block - 1)).view(np.float32)
-        return ids, qscores
+        return ids, np.take_along_axis(qscores, order, axis=1)
 
     def test_matches_oracle(self, rng):
         from vsearch_tpu.ops.bitpack import bitpack_bucketed_topk

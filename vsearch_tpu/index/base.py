@@ -170,7 +170,10 @@ class DenseIndex:
 
     # -- search ------------------------------------------------------------
     def search(self, q_embs, k: int) -> SearchResults:
-        q = jnp.asarray(np.asarray(q_embs), dtype=self.vector.dtype)
+        q = (q_embs.astype(self.vector.dtype)
+             if isinstance(q_embs, jax.Array) else
+             jnp.asarray(np.asarray(q_embs),
+                         dtype=self.vector.dtype))
         k = min(k, getattr(self, "_true_rows", None)
                 or int(self.vector.shape[0]))
         mesh_info = getattr(self, "_mesh", None)

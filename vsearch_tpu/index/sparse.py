@@ -201,7 +201,9 @@ class SparseIndex(DenseIndex):
                num_candidates: Optional[int] = None) -> SearchResults:
         from ..ops.sketch import exact_search, two_stage_search
 
-        q = jnp.asarray(np.asarray(q_embs), dtype=jnp.float32)
+        q = (q_embs.astype(jnp.float32)
+             if isinstance(q_embs, jax.Array) else
+             jnp.asarray(np.asarray(q_embs), dtype=jnp.float32))
         if q.shape[-1] != self.ell.num_cols:
             raise ValueError(
                 f"query dim {q.shape[-1]} != index dim {self.ell.num_cols}")
@@ -334,14 +336,31 @@ class BoTIndex(SparseIndex):
         super().__init__(*args, **kwargs)
         self.bitmat = None
 
+    # below this row count 'auto' keeps exact lax.top_k after bitpack
+    # scoring: with only N/8 buckets, top-100 bucket collisions become
+    # measurable at small N (recall 0.9988 at 20k rows vs 1.0), while
+    # exact selection there costs ~25% of an already-tiny search
+    bucketed_threshold = 131_072
+
     def _resolved_selection(self) -> str:
-        return "bucketed" if self.selection == "auto" else self.selection
+        if self.selection != "auto":
+            return self.selection
+        return ("bucketed" if self.ell.shape[0] > self.bucketed_threshold
+                else "exact")
 
     def _use_bitpack(self) -> bool:
         if self.search_mode == "bitpack":
             return True
         if self.search_mode != "auto":
             return False
+        # On TPU the bit-packed kernel wins at EVERY probed size (round-2
+        # crossover probe, device-resident queries: 66 vs 78 ms/128-query
+        # batch at 5k rows, 72 vs 112 ms at 131k — the kernel itself is
+        # 1-3 ms there; the exact gather path only grows from that).
+        # Off-TPU the kernel runs in interpret mode, so keep the gather
+        # path for small indexes.
+        if jax.default_backend() == "tpu":
+            return True
         return self.ell.shape[0] > self.exact_threshold
 
     def build_bitpack(self):
@@ -392,7 +411,9 @@ class BoTIndex(SparseIndex):
 
         if self.bitmat is None:
             self.build_bitpack()
-        q = jnp.asarray(np.asarray(q_embs), dtype=jnp.float32)
+        q = (q_embs.astype(jnp.float32)
+             if isinstance(q_embs, jax.Array) else
+             jnp.asarray(np.asarray(q_embs), dtype=jnp.float32))
         k = min(k, self.ell.shape[0])
         if mesh_info is not None:
             from ..parallel.sharded_search import \
