@@ -137,3 +137,34 @@ def test_low_memory_lazy_data(tmp_path):
     assert idx.get_sample(0) == rows[0]
     assert idx.get_sample(7) == rows[7]
     assert idx.get_sample(9) == rows[9]
+
+
+def test_bot_auto_policy_resolution(monkeypatch, rng):
+    """'auto' resolves: bitpack scoring always on TPU; selection exact
+    below bucketed_threshold, fused bucketed above."""
+    import jax as _jax
+    import scipy.sparse as sp
+
+    from vsearch_tpu.index import BoTIndex
+
+    mat = sp.random(50, 64, density=0.2, format="csr", dtype=np.float32,
+                    random_state=np.random.RandomState(3))
+    mat.data[:] = 1.0
+    idx = BoTIndex()
+    idx.set_vectors(mat)
+
+    # on CPU, small indexes keep the gather path
+    assert not idx._use_bitpack()
+    assert idx._resolved_selection() == "exact"
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    assert idx._use_bitpack()
+    assert idx._resolved_selection() == "exact"  # 50 rows < threshold
+
+    class FakeEll:
+        shape = (idx.bucketed_threshold + 1, 64)
+
+    idx.ell = FakeEll()
+    assert idx._resolved_selection() == "bucketed"
+    idx.selection = "bucketed_approx"
+    assert idx._resolved_selection() == "bucketed_approx"
