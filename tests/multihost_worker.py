@@ -83,3 +83,32 @@ with mesh:
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
 loss = float(metrics["loss"])
 print(f"RESULT pid={PID} loss={loss:.6f}", flush=True)
+
+# ---- sharded bit-packed search across the same 2-process mesh ---------
+from vsearch_tpu.ops.bitpack import ROW_BLOCK, BitMatrix, pack_dense
+from vsearch_tpu.parallel.sharded_search import make_sharded_bitpack_search
+
+rng2 = np.random.default_rng(11)
+dense = (rng2.random((300, 200)) < 0.12).astype(np.float32)
+q_search = np.abs(rng2.normal(size=(3, 200))).astype(np.float32)
+
+words_local = np.asarray(pack_dense(dense).words)  # [1024, W]
+shards = 4
+words_np = np.zeros((shards * ROW_BLOCK, words_local.shape[1]),
+                    np.uint32)
+words_np[: words_local.shape[0]] = words_local
+
+sh_rows = NamedSharding(mesh, P("dp", None))
+sh_rep = NamedSharding(mesh, P())
+bm = BitMatrix(
+    words=jax.make_array_from_callback(
+        words_np.shape, sh_rows, lambda idx: words_np[idx]),
+    num_rows=300, num_cols=200)
+qg = jax.make_array_from_callback(q_search.shape, sh_rep,
+                                  lambda idx: q_search[idx])
+search = make_sharded_bitpack_search(mesh, k=6, bitmat=bm)
+ids, scores = search(qg, bm)
+ids = np.asarray(jax.device_get(ids))
+scores = np.asarray(jax.device_get(scores))
+print(f"SEARCH pid={PID} ids={ids.tolist()} "
+      f"scores={np.round(scores, 3).tolist()}", flush=True)

@@ -43,3 +43,44 @@ def test_two_process_train_step():
         assert m, out[-2000:]
         losses.append(float(m.group(1)))
     assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_outputs_include_matching_sharded_search():
+    """Runs with test_two_process_train_step's workers: the worker also
+    executes a cross-process sharded bit-packed search; both processes
+    must print identical global top-k, and the scores must match an
+    exact numpy reference."""
+    import numpy as np
+
+    port = str(_free_port())
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), port],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        text=True) for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+        assert p.returncode == 0, out[-2000:]
+    lines = []
+    for out in outs:
+        m = re.search(r"SEARCH pid=\d (ids=.*)", out)
+        assert m, out[-2000:]
+        lines.append(m.group(1))
+    assert lines[0] == lines[1]
+    # scores equal the exact top-k (numpy) within bucketed quantization
+    rng2 = np.random.default_rng(11)
+    dense = (rng2.random((300, 200)) < 0.12).astype(np.float32)
+    q = np.abs(rng2.normal(size=(3, 200))).astype(np.float32)
+    exact = q @ dense.T
+    m0 = re.search(r"scores=(\[.*\])", lines[0])
+    got = np.array(eval(m0.group(1)))  # noqa: S307 - test-local literal
+    for i in range(3):
+        np.testing.assert_allclose(np.sort(got[i])[::-1],
+                                   np.sort(exact[i])[::-1][:6],
+                                   rtol=5e-3, atol=0.05)
