@@ -139,7 +139,7 @@ def main():
     if index._use_bitpack():
         index.build_bitpack()
         jax.block_until_ready(index.bitmat.words)
-    sketch_s = time.perf_counter() - t0
+    pack_s = time.perf_counter() - t0
 
     # warmup / compile, then measure pipelined (one sync at the end —
     # per-call syncs would measure tunnel RTT, not device throughput;
@@ -306,7 +306,7 @@ def main():
                         "sketch" if index._use_sketch() else "exact"),
         "selection": (index._resolved_selection()
                       if index._use_bitpack() else "exact"),
-        "pack_build_s": round(sketch_s, 2),
+        "pack_build_s": round(pack_s, 2),
         "search_batch": args.query_batch,
         "search_k": args.topk,
         "index_rows": int(ell.shape[0]),

@@ -2,10 +2,12 @@
 
 TPU-native rebuild of the reference's ``SparseIndex``/``BoTIndex``
 (reference: src/ir/retriever/index.py:128-218). The scipy/torch CSR of
-the reference becomes a static-shape ELL pytree. Scoring paths: exact
-chunked gather (small indexes), MXU sketch + exact rerank (large
-real-valued), bit-packed Pallas MXU kernel (large binary / bag-of-token,
-``ops.bitpack``). On-disk format stays scipy-``.npz``-compatible so
+the reference becomes a static-shape ELL pytree. Scoring paths:
+bit-packed Pallas MXU kernel for binary / bag-of-token indexes at every
+size on TPU (``ops.bitpack``; fused bucketed selection above 131k
+rows), binary-support proxy + exact gather rerank for large real-valued
+indexes, exact chunked gather elsewhere (and off-TPU for small
+indexes). On-disk format stays scipy-``.npz``-compatible so
 indexes interoperate with the reference, with a faster native
 ``.ell.npz`` layout alongside.
 """
