@@ -95,3 +95,40 @@ def test_stats_and_errors(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
+
+
+@pytest.fixture(scope="module")
+def mesh_server():
+    """Serve with the index + rerank sharded over the 8-device mesh
+    (the --mesh_dp path of cli.serve)."""
+    from vsearch_tpu.parallel.mesh import make_mesh
+
+    tok = make_tokenizer()
+    enc = {
+        "type": "vdr", "max_len": 32, "topk": 16, "shift_vocab_num": 5,
+        **{k: v for k, v in vars(tiny_bert_config(tok.vocab_size)).items()
+           if k in ("vocab_size", "hidden_size", "num_hidden_layers",
+                    "num_attention_heads", "intermediate_size",
+                    "max_position_embeddings")},
+    }
+    cfg = RetrieverConfig(encoder_q=dict(enc), encoder_p=dict(enc),
+                          shared_encoder=True)
+    r = Retriever(cfg, tokenizer=tok)
+    r.build_index(CORPUS * 3, batch_size=4, index_type="bag_of_token")
+    r.to_mesh(make_mesh(dp=8, tp=1))
+    srv = serve(r, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", r
+    srv.shutdown()
+
+
+def test_mesh_search_endpoint(mesh_server):
+    url, r = mesh_server
+    out = _post(url + "/search", {"queries": ["green tea drink"],
+                                  "k": 3})
+    assert len(out["ids"][0]) == 3
+    assert all(0 <= i < len(CORPUS) * 3 for i in out["ids"][0])
+    out2 = _post(url + "/search", {"queries": ["green tea drink"],
+                                   "k": 3, "rerank": True})
+    assert len(out2["ids"][0]) == 3
