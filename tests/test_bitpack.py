@@ -206,3 +206,21 @@ def test_bot_index_selection_modes(rng, selection):
                                    np.sort(exact[i])[::-1][:4],
                                    rtol=8e-3, atol=0.05)
         assert (res.ids[i] >= 0).all() and (res.ids[i] < 500).all()
+
+    def test_k_exceeding_valid_buckets_falls_back_exact(self, rng):
+        """k*bucket > num_rows could leave fewer valid buckets than k;
+        the wrapper must fall back to exact selection (no -inf junk)."""
+        from vsearch_tpu.ops.bitpack import bitpack_bucketed_topk
+
+        dense = (rng.random((200, 300)) < 0.15).astype(np.float32)
+        q = np.abs(rng.normal(size=(2, 300))).astype(np.float32)
+        bm = pack_dense(dense)
+        ids, s = bitpack_bucketed_topk(jnp.asarray(q), bm, k=150)
+        ids, s = np.asarray(ids), np.asarray(s)
+        assert np.isfinite(s).all()
+        exact = q @ dense.T
+        for i in range(2):
+            assert len(set(ids[i].tolist())) == 150
+            np.testing.assert_allclose(np.sort(s[i])[::-1],
+                                       np.sort(exact[i])[::-1][:150],
+                                       rtol=8e-3, atol=0.05)

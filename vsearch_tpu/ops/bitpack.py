@@ -323,6 +323,11 @@ def bitpack_bucketed_topk(q: jax.Array, bitmat: BitMatrix, k: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if k * bucket > bitmat.num_rows:
+        # fewer valid buckets than k is possible (each bucket holds up
+        # to ``bucket`` valid rows) -> the merge could emit -inf junk;
+        # exact selection is cheap at such small sizes anyway
+        return bitpack_topk_search(q, bitmat, k=k, interpret=interpret)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n_pad, w = bitmat.words.shape
