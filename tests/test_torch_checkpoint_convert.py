@@ -130,3 +130,29 @@ def test_convert_checkpoint_cli(torch_ckpt_dir, tmp_path):
     np.testing.assert_allclose(native.encoder_q.embed(texts),
                                direct.encoder_q.embed(texts),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_safetensors_checkpoint_loads_identically(torch_ckpt_dir,
+                                                  tmp_path):
+    """A reference dir shipping model.safetensors (instead of
+    pytorch_model.bin) must convert to the same model."""
+    import shutil
+
+    safetensors = pytest.importorskip("safetensors")
+    from safetensors.numpy import save_file
+
+    ckpt_dir = str(torch_ckpt_dir[0])
+    st_dir = tmp_path / "st_ckpt"
+    shutil.copytree(ckpt_dir, st_dir)
+    sd = torch.load(st_dir / "pytorch_model.bin", map_location="cpu",
+                    weights_only=True)
+    save_file({k: v.numpy() for k, v in sd.items()},
+              str(st_dir / "model.safetensors"))
+    (st_dir / "pytorch_model.bin").unlink()
+
+    m_bin = Retriever.from_pretrained(ckpt_dir)
+    m_st = Retriever.from_pretrained(str(st_dir))
+    texts = ["green tea is a drink", "mars is red"]
+    np.testing.assert_allclose(m_st.encoder_q.embed(texts),
+                               m_bin.encoder_q.embed(texts),
+                               rtol=1e-5, atol=1e-5)
