@@ -144,3 +144,15 @@ def test_save_load_pretrained(retriever, tmp_path):
     e1 = retriever.encoder_q.embed(["green tea"])
     e2 = loaded.encoder_q.embed(["green tea"])
     np.testing.assert_allclose(e1, e2, rtol=1e-5, atol=1e-6)
+
+
+def test_beta_rerank_with_k_exceeding_corpus(retriever):
+    """k larger than the corpus: the index clamps it, and the rerank
+    stage must follow the clamped width (regression: reshape crash when
+    the CLI asked num_rerank=100 over a tiny index)."""
+    retriever.build_index(CORPUS, batch_size=4,
+                          index_type="bag_of_token")
+    res = retriever.retrieve(["green tea drink"], k=100, rerank=True)
+    ids = np.asarray(res.ids)
+    assert ids.shape == (1, len(CORPUS))
+    assert sorted(ids[0].tolist()) == list(range(len(CORPUS)))

@@ -14,7 +14,11 @@ from vsearch_tpu.ops.sketch import (exact_rerank, exact_search,
 
 
 @pytest.fixture(scope="module")
-def ell_and_q(rng):
+def ell_and_q():
+    # own seeded generator: the statistical recall thresholds below are
+    # tuned to this data; the shared session rng would make it depend
+    # on which test files ran before
+    rng = np.random.default_rng(7)
     mat = sp.random(2000, 300, density=0.05, format="csr",
                     dtype=np.float32,
                     random_state=np.random.RandomState(7))

@@ -147,7 +147,9 @@ class VDRImageEncoder:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             dummy = jnp.zeros((1, config.resolution, config.resolution, 3),
                               jnp.float32)
-            variables = self.module.init(rng, dummy)
+            # jitted for the same reason as the text encoders: one
+            # compiled init program instead of per-param dispatches
+            variables = jax.jit(self.module.init)(rng, dummy)
         self.variables = variables
         if tokenizer is None:
             from ..tokenization import get_tokenizer

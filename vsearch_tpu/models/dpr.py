@@ -60,7 +60,11 @@ class DPREncoder(TextEncoderBase):
         if variables is None:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             dummy = jnp.zeros((1, 8), dtype=jnp.int32)
-            variables = self.module.init(rng, dummy, dummy, dummy)
+            # jit the init: eager flax init dispatches one device op
+            # per parameter (minutes over a remote device link);
+            # compiled it is a single program
+            variables = jax.jit(self.module.init)(rng, dummy,
+                                                  dummy, dummy)
         if tokenizer is None:
             from ..tokenization import get_tokenizer
             tokenizer = get_tokenizer(config.model_id)

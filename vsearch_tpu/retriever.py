@@ -111,6 +111,7 @@ class Retriever(BiEncoder):
         instead of dense [B*k, V] vectors, so reranking B x k candidates
         moves ~100x less data off the device."""
         ret_ids = np.asarray(results.ids)  # [B, k]
+        k = ret_ids.shape[1]  # the index may have clamped k to its rows
         flat_ids = ret_ids.reshape(-1).tolist()
         ret_texts = [_passage_text(index.get_sample(i)) for i in flat_ids]
         b = q_emb.shape[0]
