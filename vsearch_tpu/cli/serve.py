@@ -33,6 +33,10 @@ def main(argv=None):
                     help="top-k selection policy (see "
                          "index.BoTIndex.selection; default 'auto' = "
                          "fused bucketed kernel)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run one search (+rerank on BoT indexes) "
+                         "before accepting traffic, so the first "
+                         "request doesn't pay the jit compile")
     args = ap.parse_args(argv)
 
     from ..serve import serve
@@ -49,6 +53,18 @@ def main(argv=None):
 
         retriever.to_mesh(make_mesh(dp=args.mesh_dp, tp=1))
         logger.info("serving sharded over %d devices", args.mesh_dp)
+    if args.warmup and retriever.index is not None:
+        import time
+
+        from ..index import IndexType
+
+        t0 = time.time()
+        rerank = retriever.index.index_type == IndexType.BAG_OF_TOKEN
+        retriever.retrieve(["warmup"], k=min(args.default_k,
+                                             len(retriever.index)),
+                           rerank=rerank)
+        logger.info("warmup done in %.1f s (search%s compiled)",
+                    time.time() - t0, "+rerank" if rerank else "")
     server = serve(retriever, host=args.host, port=args.port,
                    default_k=args.default_k)
     try:
