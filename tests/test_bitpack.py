@@ -183,30 +183,6 @@ class TestBucketedTopk:
             np.testing.assert_array_equal(np.asarray(ids)[i],
                                           np.argsort(-exact[i])[:5])
 
-
-@pytest.mark.parametrize("selection", ["auto", "exact", "approx",
-                                       "bucketed", "bucketed_approx"])
-def test_bot_index_selection_modes(rng, selection):
-    """Every selection policy returns the same top-k scores on a
-    collision-free case (off-TPU, approx modes fall back to exact
-    merges, so this asserts the dispatch plumbing + score paths)."""
-    mat = sp.random(500, 256, density=0.1, format="csr", dtype=np.float32,
-                    random_state=np.random.RandomState(7))
-    mat.data[:] = 1.0
-    from vsearch_tpu.index import BoTIndex
-
-    idx = BoTIndex(search_mode="bitpack")
-    idx.selection = selection
-    idx.set_vectors(mat)
-    q = np.abs(rng.normal(size=(3, 256))).astype(np.float32)
-    res = idx.search(q, k=4)
-    exact = q @ mat.toarray().T
-    for i in range(3):
-        np.testing.assert_allclose(np.sort(res.scores[i])[::-1],
-                                   np.sort(exact[i])[::-1][:4],
-                                   rtol=8e-3, atol=0.05)
-        assert (res.ids[i] >= 0).all() and (res.ids[i] < 500).all()
-
     def test_k_exceeding_valid_buckets_falls_back_exact(self, rng):
         """k*bucket > num_rows could leave fewer valid buckets than k;
         the wrapper must fall back to exact selection (no -inf junk)."""
@@ -224,3 +200,32 @@ def test_bot_index_selection_modes(rng, selection):
             np.testing.assert_allclose(np.sort(s[i])[::-1],
                                        np.sort(exact[i])[::-1][:150],
                                        rtol=8e-3, atol=0.05)
+
+
+@pytest.mark.parametrize("selection", ["auto", "exact", "approx",
+                                       "bucketed", "bucketed_approx"])
+def test_bot_index_selection_modes(selection):
+    """Every selection policy returns the same top-k scores on a
+    collision-free case (off-TPU, approx modes fall back to exact
+    merges, so this asserts the dispatch plumbing + score paths).
+
+    Uses its own fixed generator (not the shared module rng): the
+    approx modes sit near their recall target, so this test's data must
+    not shift when tests are added/reordered in this module."""
+    mat = sp.random(500, 256, density=0.1, format="csr", dtype=np.float32,
+                    random_state=np.random.RandomState(7))
+    mat.data[:] = 1.0
+    from vsearch_tpu.index import BoTIndex
+
+    idx = BoTIndex(search_mode="bitpack")
+    idx.selection = selection
+    idx.set_vectors(mat)
+    q = np.abs(np.random.default_rng(77).normal(
+        size=(3, 256))).astype(np.float32)
+    res = idx.search(q, k=4)
+    exact = q @ mat.toarray().T
+    for i in range(3):
+        np.testing.assert_allclose(np.sort(res.scores[i])[::-1],
+                                   np.sort(exact[i])[::-1][:4],
+                                   rtol=8e-3, atol=0.05)
+        assert (res.ids[i] >= 0).all() and (res.ids[i] < 500).all()

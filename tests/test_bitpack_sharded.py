@@ -43,3 +43,42 @@ def test_sharded_bitpack_matches_single(mesh, rng):
                                    rtol=5e-3, atol=0.05)
         # returned ids must be valid rows
         assert (res2.ids[i] < 300).all() and (res2.ids[i] >= 0).all()
+
+
+def test_sharded_bucketed_guard_large_k(mesh, rng):
+    """Advisor (round 2): k=300 on a 2000-row sharded index with
+    selection='bucketed' crashed the merge ('top_k must be no larger
+    than size'), and k near the per-shard bucket count silently lost
+    recall. The factory must fall back to exact per-shard selection
+    when k*BUCKET > rows_per."""
+    from vsearch_tpu.ops.bitpack import pack_dense
+    from vsearch_tpu.parallel.sharded_search import (
+        make_sharded_bitpack_search, shard_bitmat)
+
+    n, v, k = 2000, 256, 300
+    dense = (rng.random((n, v)) < 0.1).astype(np.float32)
+    q = np.abs(rng.normal(size=(2, v))).astype(np.float32)
+    bm = shard_bitmat(mesh, pack_dense(dense))
+    fn = make_sharded_bitpack_search(mesh, k=k, bitmat=bm,
+                                     selection="bucketed")
+    ids, scores = fn(jax.numpy.asarray(q), bm)
+    ids, scores = np.asarray(ids), np.asarray(scores)
+    assert np.isfinite(scores).all()
+    assert (ids < n).all()
+    exact = q @ dense.T
+    for i in range(2):
+        assert len(set(ids[i].tolist())) == k
+        np.testing.assert_allclose(np.sort(scores[i])[::-1],
+                                   np.sort(exact[i])[::-1][:k],
+                                   rtol=8e-3, atol=0.05)
+
+
+def test_sharded_bitpack_k_exceeds_rows_raises(mesh, rng):
+    from vsearch_tpu.ops.bitpack import pack_dense
+    from vsearch_tpu.parallel.sharded_search import (
+        make_sharded_bitpack_search, shard_bitmat)
+
+    dense = (rng.random((100, 128)) < 0.1).astype(np.float32)
+    bm = shard_bitmat(mesh, pack_dense(dense))
+    with pytest.raises(ValueError, match="exceeds index rows"):
+        make_sharded_bitpack_search(mesh, k=101, bitmat=bm)

@@ -137,6 +137,53 @@ def test_eval_accuracy_computation():
     assert acc[1] == 0.0 and acc[2] == 1.0 and acc[3] == 1.0
 
 
+def test_serve_warmup_without_data_file(workdir):
+    """Advisor (round 2): --warmup on a BoT index loaded via
+    --index_file but WITHOUT --data_file crashed at startup (rerank
+    warmup indexed data=None); it must warm plain search instead."""
+    from vsearch_tpu.cli.build_index.binary_token_index import main as build
+    from vsearch_tpu.cli.serve import make_parser, prepare_retriever
+
+    idx = str(workdir / "bot_serve.npz")
+    build(["--text_file", str(workdir / "corpus.jsonl"),
+           "--save_file", idx, "--num_shift", "5",
+           "--tokenizer", str(workdir / "ckpt"), "--num_workers", "1"])
+    ap = make_parser()
+    args = ap.parse_args(["--checkpoint", str(workdir / "ckpt"),
+                          "--index_file", idx,
+                          "--index_type", "bag_of_token", "--warmup"])
+    r = prepare_retriever(args, ap)  # must not raise
+    assert r.index is not None
+
+
+def test_serve_selection_validation(workdir):
+    """--selection bucketed on a dense index and --selection without
+    --index_file must fail fast instead of being silently dropped."""
+    from vsearch_tpu.cli.build_index.dense_index import main as build
+    from vsearch_tpu.cli.serve import make_parser, prepare_retriever
+
+    idx = str(workdir / "dense_serve.pt")
+    build(["--checkpoint", str(workdir / "ckpt"),
+           "--text_file", str(workdir / "corpus.jsonl"),
+           "--save_file", idx, "--batch_size", "4"])
+    ap = make_parser()
+    args = ap.parse_args(["--checkpoint", str(workdir / "ckpt"),
+                          "--index_file", idx, "--index_type", "dense",
+                          "--selection", "bucketed"])
+    with pytest.raises(SystemExit):
+        prepare_retriever(args, ap)
+    # approx maps through; auto resolves to exact for dense
+    args = ap.parse_args(["--checkpoint", str(workdir / "ckpt"),
+                          "--index_file", idx, "--index_type", "dense",
+                          "--selection", "approx"])
+    r = prepare_retriever(args, ap)
+    assert r.index.selection == "approx"
+    args = ap.parse_args(["--checkpoint", str(workdir / "ckpt"),
+                          "--selection", "exact"])
+    with pytest.raises(SystemExit):
+        prepare_retriever(args, ap)
+
+
 def test_eval_beir_cli(workdir):
     import json as _json
 

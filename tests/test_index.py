@@ -97,6 +97,20 @@ def test_sparse_index_native_roundtrip(tmp_path, rng):
                                   idx.search(q, 3).ids)
 
 
+def test_native_load_rejects_inconsistent_shards(tmp_path, rng):
+    """Mixed-vocab shard files must error, not silently corrupt: the
+    loader previously took num_cols from whichever file it read last."""
+    for i, v in enumerate([100, 120]):
+        mat = sp.random(20, v, density=0.1, format="csr",
+                        dtype=np.float32,
+                        random_state=np.random.RandomState(i))
+        idx = SparseIndex()
+        idx.set_vectors(mat)
+        idx.save(str(tmp_path / f"mix{i}.ell.npz"))
+    with pytest.raises(ValueError, match="inconsistent index shard"):
+        SparseIndex(index_file=str(tmp_path / "mix*.ell.npz"))
+
+
 def test_sparse_index_sharded_glob_load(tmp_path, rng):
     shards = [sp.random(20, 100, density=0.1, format="csr",
                         dtype=np.float32,

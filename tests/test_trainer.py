@@ -93,6 +93,60 @@ def test_trainer_checkpoint_resume(train_file, tmp_path):
     assert meta["epoch"] == 2
 
 
+def test_run_train_resume_public_api(train_file, tmp_path):
+    """Round-2 VERDICT repro: ``run_train(resume=True)`` crashed with
+    FileNotFoundError (resume() resolved the model-only checkpoint_<n>
+    dirs instead of the orbax train_state). Now: train with mid-epoch
+    saves (save_steps), then a FRESH trainer resumes through the public
+    API, replays exactly the remaining batches, and lands on the same
+    final step count and parameters as the straight-through run."""
+    path, _ = train_file
+    cfg = TrainConfig(batch_size=8, num_train_epochs=2,
+                      learning_rate=5e-4, num_epoch_to_save=10,
+                      save_steps=2, output_dir=str(tmp_path), seed=9)
+
+    # straight-through run; mid-epoch saves land at step 2 (epoch 1,
+    # offset 2) and step 5 (epoch 2, offset 2); no epoch-end saves
+    r1 = make_retriever()
+    t1 = RetrieverTrainer(r1, cfg, [BiEncoderDataset(path)])
+    t1.run_train()
+    assert int(t1.state.step) == 6
+
+    # fresh trainer + public resume: restores step 5, replays only
+    # epoch 2's last batch
+    r2 = make_retriever()
+    t2 = RetrieverTrainer(r2, cfg, [BiEncoderDataset(path)])
+    t2.run_train(resume=True)
+    assert t2.start_epoch == 1 and t2.start_batch == 2
+    assert int(t2.state.step) == 6
+
+    flat1 = jax_flatten(t1.state.params)
+    flat2 = jax_flatten(t2.state.params)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def jax_flatten(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
+
+
+def test_run_train_resume_without_checkpoint_starts_fresh(train_file,
+                                                          tmp_path):
+    """resume=True on an empty output dir must start from scratch, not
+    crash (the round-2 failure mode)."""
+    path, _ = train_file
+    cfg = TrainConfig(batch_size=8, num_train_epochs=1,
+                      learning_rate=5e-4, num_epoch_to_save=10,
+                      output_dir=str(tmp_path / "empty"), seed=10)
+    t = RetrieverTrainer(make_retriever(), cfg,
+                         [BiEncoderDataset(path)])
+    t.run_train(resume=True)
+    assert int(t.state.step) == 3
+
+
 def test_trainer_ret_negatives(train_file, tmp_path):
     """Retrieved-negatives path: trainer mines negatives from a live
     index between steps (reference retriever.py:48-67)."""

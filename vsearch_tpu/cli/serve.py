@@ -14,8 +14,7 @@ from .common import load_retriever, setup_logging
 logger = logging.getLogger("vsearch_tpu.cli.serve")
 
 
-def main(argv=None):
-    setup_logging()
+def make_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--index_file", default=None)
@@ -37,17 +36,38 @@ def main(argv=None):
                     help="run one search (+rerank on BoT indexes) "
                          "before accepting traffic, so the first "
                          "request doesn't pay the jit compile")
-    args = ap.parse_args(argv)
+    return ap
 
-    from ..serve import serve
 
+def prepare_retriever(args, ap):
+    """Load checkpoint + index, apply the selection policy, shard over
+    the mesh and warm up — everything main() does before binding the
+    socket (split out so it is testable without a server loop)."""
     retriever = load_retriever(args.checkpoint)
     if args.index_file:
         retriever.load_index(index_file=args.index_file,
                              data_file=args.data_file,
                              index_type=args.index_type)
         if args.selection:
-            retriever.index.selection = args.selection
+            from ..index import DenseIndex
+
+            if isinstance(retriever.index, DenseIndex):
+                # DenseIndex only understands 'approx' (everything else
+                # runs exact); reject policies that would silently
+                # change meaning
+                if args.selection in ("bucketed", "bucketed_approx"):
+                    ap.error(
+                        f"--selection {args.selection} applies to "
+                        "bag-of-token/sparse indexes only; dense "
+                        "indexes support auto/exact/approx")
+                retriever.index.selection = (
+                    "approx" if args.selection == "approx" else "exact")
+            else:
+                retriever.index.selection = args.selection
+            logger.info("top-k selection policy: %s",
+                        retriever.index.selection)
+    elif args.selection:
+        ap.error("--selection requires --index_file (no index loaded)")
     if args.mesh_dp:
         from ..parallel.mesh import make_mesh
 
@@ -59,12 +79,30 @@ def main(argv=None):
         from ..index import IndexType
 
         t0 = time.time()
-        rerank = retriever.index.index_type == IndexType.BAG_OF_TOKEN
+        # rerank needs passage texts; with --index_file but no
+        # --data_file the index has vectors only, and warming the
+        # rerank path would crash on index.get_sample()
+        has_data = (getattr(retriever.index, "data", None) is not None
+                    or getattr(retriever.index, "_lazy", None)
+                    is not None)
+        rerank = (retriever.index.index_type == IndexType.BAG_OF_TOKEN
+                  and has_data)
         retriever.retrieve(["warmup"], k=min(args.default_k,
                                              len(retriever.index)),
                            rerank=rerank)
         logger.info("warmup done in %.1f s (search%s compiled)",
                     time.time() - t0, "+rerank" if rerank else "")
+    return retriever
+
+
+def main(argv=None):
+    setup_logging()
+    ap = make_parser()
+    args = ap.parse_args(argv)
+
+    from ..serve import serve
+
+    retriever = prepare_retriever(args, ap)
     server = serve(retriever, host=args.host, port=args.port,
                    default_k=args.default_k)
     try:

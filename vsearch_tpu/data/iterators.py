@@ -152,13 +152,16 @@ class ShardedDataIterator:
         self.iteration = 0
 
     def iterate_ds_sampled_data(self, num_iterations: int,
-                                epoch: int = 0) -> Iterator[List]:
-        """Exactly num_iterations batches, cycling through the shard."""
-        self.iteration = 0
+                                epoch: int = 0, skip: int = 0
+                                ) -> Iterator[List]:
+        """Exactly ``num_iterations - skip`` batches, cycling through the
+        shard; ``skip`` fast-forwards past the first batches of the
+        epoch (mid-epoch resume) without materializing them."""
+        self.iteration = skip
         indices = self.get_shard_indices(epoch)
         n = len(indices)
-        pos = 0
-        for _ in range(num_iterations):
+        pos = (skip * self.batch_size) % n if n else 0
+        for _ in range(num_iterations - skip):
             rows = np.arange(pos, pos + self.batch_size) % n
             pos = (pos + self.batch_size) % n
             self.iteration += 1
@@ -186,12 +189,15 @@ class MultiSetDataIterator:
     def __init__(self, datasets: List[ShardedDataIterator],
                  shuffle_seed: int = 0, shuffle: bool = True,
                  sampling_rates: Optional[Sequence[float]] = None,
-                 rank: int = 0):
+                 rank: int = 0, offset: int = 0):
         self.iterables = datasets
         self.shuffle_seed = shuffle_seed
         self.shuffle = shuffle
         self.iteration = 0
         self.rank = rank
+        # one-shot mid-epoch resume point: consumed by the FIRST
+        # iterate_ds_data call, later epochs start at 0
+        self.start_iteration = offset
         rates = sampling_rates or [1.0] * len(datasets)
         self.max_its_pr_ds = [int(ds.max_iterations_num() * r)
                               for ds, r in zip(datasets, rates)]
@@ -219,12 +225,28 @@ class MultiSetDataIterator:
             schedule = rng.permutation(schedule)
         return schedule
 
+    def set_start_iteration(self, offset: int):
+        """Arm a one-shot mid-epoch resume point for the next epoch."""
+        self.start_iteration = offset
+
     def iterate_ds_data(self, epoch: int = 0
                         ) -> Iterator[Tuple[List, int]]:
-        streams = [it.iterate_ds_sampled_data(quota, epoch=epoch)
-                   for it, quota in zip(self.iterables,
-                                        self.max_its_pr_ds)]
-        for source in self._schedule(epoch):
+        schedule = self._schedule(epoch)
+        start = min(self.start_iteration, len(schedule))
+        self.start_iteration = 0
+        # fast-forward: each source skips as many batches as it owns in
+        # the consumed prefix of the schedule — identical downstream
+        # batches to a straight-through run, without materializing the
+        # skipped ones
+        skips = (np.bincount(schedule[:start].astype(np.int64),
+                             minlength=len(self.iterables))
+                 if start else np.zeros(len(self.iterables), np.int64))
+        streams = [it.iterate_ds_sampled_data(quota, epoch=epoch,
+                                              skip=int(s))
+                   for it, quota, s in zip(self.iterables,
+                                           self.max_its_pr_ds, skips)]
+        self.iteration = start
+        for source in schedule[start:]:
             batch = next(streams[int(source)], None)
             if batch is not None:
                 self.iteration += 1
@@ -267,4 +289,4 @@ def get_data_iterator(datasets: Sequence, batch_size: int,
     return MultiSetDataIterator(
         sharded, shuffle_seed, shuffle,
         sampling_rates=sampling_rates if is_train_set else [1],
-        rank=rank)
+        rank=rank, offset=offset)

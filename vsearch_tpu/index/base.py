@@ -184,7 +184,9 @@ class DenseIndex:
             mesh, axis_name = mesh_info
             if self._search_fn is None or self._search_fn[0] != k:
                 fn = make_sharded_dense_search(
-                    mesh, k=k, num_rows=int(self.vector.shape[0]),
+                    mesh, k=k,
+                    num_rows=getattr(self, "_true_rows", None)
+                    or int(self.vector.shape[0]),
                     axis_name=axis_name)
                 self._search_fn = (k, fn)
             ids, scores = self._search_fn[1](q, self.vector)

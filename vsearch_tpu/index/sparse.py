@@ -96,15 +96,26 @@ class SparseIndex(DenseIndex):
 
     def _load_native(self, files) -> ELLMatrix:
         parts = []
-        sentinel = True
+        num_cols = sentinel = has_vals = None
         for f in files:
             with np.load(f) as z:
                 cols, nnz = z["cols"], z["nnz"]
                 vals = z["vals"] if "vals" in z.files else None
-                num_cols = int(z["num_cols"])
-                sentinel = sentinel and bool(
-                    z["sentinel_padded"]) if "sentinel_padded" in z.files \
-                    else False
+                meta = (int(z["num_cols"]),
+                        bool(z["sentinel_padded"])
+                        if "sentinel_padded" in z.files else False,
+                        vals is not None)
+                if num_cols is None:
+                    num_cols, sentinel, has_vals = meta
+                elif meta != (num_cols, sentinel, has_vals):
+                    # shards from different builds would silently
+                    # corrupt the merged index (wrong vocab width /
+                    # sentinel column / value semantics) — refuse
+                    raise ValueError(
+                        f"inconsistent index shard {f}: "
+                        f"(num_cols, sentinel_padded, has_vals)={meta} "
+                        f"vs {(num_cols, sentinel, has_vals)} from "
+                        f"{files[0]}")
                 parts.append((cols, nnz, vals))
         nnz_pad = max(p[0].shape[1] for p in parts)
         pad_col = num_cols if sentinel else 0
@@ -222,7 +233,8 @@ class SparseIndex(DenseIndex):
                     mesh, k=k, ell_template=self.ell,
                     score_fn=lambda qq, shard: ell_matvec_chunked(
                         qq, shard, chunk_rows=self.block_rows * 16),
-                    axis_name=axis_name)
+                    axis_name=axis_name,
+                    num_rows=getattr(self, "_true_rows", None))
                 self._search_fn = (("m", k), fn)
             ids, scores = self._search_fn[1](q, self.ell)
             return SearchResults(np.asarray(ids), np.asarray(scores))

@@ -25,6 +25,18 @@ def _pad_rows(n: int, shards: int) -> int:
     return per * shards
 
 
+def _demote_padding(ids: jax.Array, scores: jax.Array, num_rows: int
+                    ) -> jax.Array:
+    """Mask scores of padding rows (id >= num_rows) to -inf BEFORE the
+    cross-shard merge, so pad candidates never displace real rows from
+    the merged top-k. Padding rows are all-zero and score exactly 0,
+    which BEATS real rows whenever real scores are negative (routine
+    for dense DPR embeddings) — so masking by score sign is wrong; mask
+    by id range (reference semantics: only real rows exist,
+    src/ir/retriever/index.py:88-94)."""
+    return jnp.where(ids < num_rows, scores, -jnp.inf)
+
+
 def shard_rows(mesh: Mesh, arr: jax.Array, axis_name: str = "dp"
                ) -> jax.Array:
     """Pad leading dim to the shard count and place row-sharded."""
@@ -63,10 +75,17 @@ def shard_ell(mesh: Mesh, ell: ELLMatrix, axis_name: str = "dp"
 def make_sharded_dense_search(mesh: Mesh, k: int, num_rows: int,
                               axis_name: str = "dp"):
     """Build a jitted sharded dense search: (q [B, D] replicated,
-    vectors [N, D] row-sharded) -> global (ids, scores) [B, k]."""
+    vectors [N, D] row-sharded) -> global (ids, scores) [B, k].
+
+    ``num_rows`` is the TRUE (unpadded) row count; ids of padding rows
+    added by ``shard_rows`` are demoted below every real hit."""
     shards = mesh.shape[axis_name]
     rows_per = _pad_rows(num_rows, shards) // shards
-    k_local = min(k, rows_per)
+    # widen the local k by the pad count (< shards, all in the tail
+    # shard) so pad rows entering a LOCAL top-k can never displace a
+    # real global-top-k candidate; they are then -inf'd pre-merge
+    pad_total = rows_per * shards - num_rows
+    k_local = min(k + pad_total, rows_per)
 
     def local(q, vec_shard):
         ids, scores = dense_topk_search(
@@ -74,6 +93,7 @@ def make_sharded_dense_search(mesh: Mesh, k: int, num_rows: int,
             precision=jax.lax.Precision.DEFAULT)
         offset = jax.lax.axis_index(axis_name) * rows_per
         ids = ids + offset
+        scores = _demote_padding(ids, scores, num_rows)
         all_ids = jax.lax.all_gather(ids, axis_name)        # [S, B, kl]
         all_scores = jax.lax.all_gather(scores, axis_name)
         return merge_shard_topk(all_ids, all_scores, k)
@@ -118,6 +138,16 @@ def make_sharded_bitpack_search(mesh: Mesh, k: int, bitmat,
     shards = mesh.shape[axis_name]
     n_pad = bitmat.words.shape[0]
     rows_per = n_pad // shards
+    if k > bitmat.num_rows:
+        raise ValueError(
+            f"k={k} exceeds index rows {bitmat.num_rows}; clamp k "
+            "before building the sharded search")
+    if selection == "bucketed" and k * BUCKET > rows_per:
+        # mirror the unsharded guard (ops/bitpack.py): with fewer valid
+        # buckets than k per shard the merge emits junk (recall decays
+        # well before the hard crash at k > rows_per // BUCKET); exact
+        # per-shard selection is cheap at such sizes
+        selection = "exact"
     k_local = min(k, rows_per // BUCKET if selection == "bucketed"
                   else rows_per)
     num_cols = bitmat.num_cols
@@ -134,15 +164,10 @@ def make_sharded_bitpack_search(mesh: Mesh, k: int, bitmat,
             scores = bitpack_scores(q, shard, interpret=interpret)
             s, i = jax.lax.top_k(scores, k_local)
         i = i + jax.lax.axis_index(axis_name) * rows_per
+        s = _demote_padding(i, s, bitmat.num_rows)
         all_ids = jax.lax.all_gather(i, axis_name)
         all_scores = jax.lax.all_gather(s, axis_name)
-        ids, sc = merge_shard_topk(all_ids, all_scores, k)
-        # demote padding rows (id >= num_rows) below any real score
-        valid = ids < bitmat.num_rows
-        sc = jnp.where(valid, sc, -jnp.inf)
-        order = jnp.argsort(-sc, axis=1)
-        return (jnp.take_along_axis(ids, order, axis=1),
-                jnp.take_along_axis(sc, order, axis=1))
+        return merge_shard_topk(all_ids, all_scores, k)
 
     fn = jax.shard_map(
         local, mesh=mesh,
@@ -153,19 +178,25 @@ def make_sharded_bitpack_search(mesh: Mesh, k: int, bitmat,
 
 def make_sharded_ell_search(mesh: Mesh, k: int,
                             ell_template: ELLMatrix, score_fn,
-                            axis_name: str = "dp"):
+                            axis_name: str = "dp",
+                            num_rows: int | None = None):
     """Build a jitted sharded sparse search over a row-sharded ELLMatrix.
 
     ``score_fn(q, ell_shard) -> [B, rows_per]`` is the single-device
     scorer (exact chunked gather or the bit-plane MXU scorer);
     ``ell_template`` supplies static metadata (num_cols, has-vals,
     sharded row count — pass the already-sharded matrix).
+    ``num_rows`` is the TRUE (pre-``shard_ell``) row count; ids of
+    padding rows are demoted below every real hit.
     """
     shards = mesh.shape[axis_name]
-    num_rows = ell_template.cols.shape[0]
-    assert num_rows % shards == 0, "shard the ELL with shard_ell first"
-    rows_per = num_rows // shards
-    k_local = min(k, rows_per)
+    padded_rows = ell_template.cols.shape[0]
+    assert padded_rows % shards == 0, "shard the ELL with shard_ell first"
+    if num_rows is None:
+        num_rows = padded_rows
+    rows_per = padded_rows // shards
+    # same pad-displacement guard as make_sharded_dense_search
+    k_local = min(k + (padded_rows - num_rows), rows_per)
     num_cols = ell_template.num_cols
     has_vals = ell_template.vals is not None
 
@@ -175,6 +206,7 @@ def make_sharded_ell_search(mesh: Mesh, k: int,
         scores = score_fn(q, ell_shard)  # [B, rows_per]
         s, i = jax.lax.top_k(scores, k_local)
         i = i + jax.lax.axis_index(axis_name) * rows_per
+        s = _demote_padding(i, s, num_rows)
         all_ids = jax.lax.all_gather(i, axis_name)   # [S, B, kl]
         all_scores = jax.lax.all_gather(s, axis_name)
         return merge_shard_topk(all_ids, all_scores, k)

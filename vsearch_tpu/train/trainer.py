@@ -75,6 +75,10 @@ class TrainConfig:
     # logging / bookkeeping
     log_batch_step: int = 100
     train_rolling_loss_step: int = 100
+    # mid-epoch train-state saves every N steps (0 = epoch-end only);
+    # each save records the iterator offset so resume restarts on the
+    # exact next batch
+    save_steps: int = 0
     seed: int = 12345
     output_dir: str = "./output"
     save_name_prefix: str = "checkpoint"
@@ -159,11 +163,20 @@ class RetrieverTrainer:
             shared_params=self.shared)
 
     def resume(self, directory: Optional[str] = None) -> bool:
-        """Restore the newest checkpoint from output_dir (or an explicit
-        dir). Returns True when a checkpoint was loaded."""
-        directory = directory or latest_checkpoint(
-            self.cfg.output_dir, self.cfg.save_name_prefix)
-        if not directory or self.state is None:
+        """Restore the full train state written by
+        ``save_train_checkpoint`` (``output_dir/train_state`` — NOT the
+        model-only ``checkpoint_<n>`` dirs, which hold HF weights
+        without optimizer/step state). Returns True when a checkpoint
+        was loaded."""
+        if directory is None:
+            cand = os.path.join(self.cfg.output_dir, "train_state")
+            if os.path.isdir(os.path.join(cand, "state")):
+                directory = cand
+            else:
+                logger.info("no train_state checkpoint under %s — "
+                            "starting fresh", self.cfg.output_dir)
+                return False
+        if self.state is None:
             return False
         self.state, meta = load_checkpoint(directory, self.state)
         self.start_epoch = int(meta.get("epoch", 0))
@@ -181,11 +194,17 @@ class RetrieverTrainer:
             logger.warning("no data found for training")
             return
         self._init_state(updates_per_epoch)
-        if resume:
-            self.resume()
+        resumed = self.resume() if resume else False
+        if resumed:
+            # the iterator above was built before the checkpoint meta
+            # was known; arm its one-shot mid-epoch offset now (epoch
+            # permutations are keyed by (seed, epoch), so no reload is
+            # needed — only the resume point changes)
+            it.set_start_iteration(self.start_batch)
         logger.info("total updates=%d",
                     updates_per_epoch * cfg.num_train_epochs)
-        self.save_model_checkpoint("0")
+        if not resumed:
+            self.save_model_checkpoint("0")
         for epoch in range(self.start_epoch + 1,
                            cfg.num_train_epochs + 1):
             logger.info("***** Epoch %d *****", epoch)
@@ -330,6 +349,13 @@ class RetrieverTrainer:
                             cfg.train_rolling_loss_step,
                             float(rolling_sum) / rolling_n)
                 rolling_sum, rolling_n = None, 0
+            if cfg.save_steps and iteration % cfg.save_steps == 0:
+                # mid-epoch: `epoch` is in progress, so the last
+                # COMPLETED epoch is epoch-1 and `iteration` batches of
+                # this epoch are consumed — resume() restarts on the
+                # exact next batch (use the yielded iteration, not
+                # it.get_iteration(): the prefetch thread runs ahead)
+                self.save_train_checkpoint(epoch - 1, offset=iteration)
         if epoch % cfg.num_epoch_to_save == 0:
             self.save_model_checkpoint(str(epoch))
             self.save_train_checkpoint(epoch)
