@@ -1,0 +1,260 @@
+"""Numerical parity against the reference's OWN torch code.
+
+Unlike test_fulldims_parity.py (which re-derives the reference head math
+from HF ``BertModel``), this suite imports
+``/root/reference/src/ir/encoder/vdr.py`` and EXECUTES its
+``VDREncoder.forward`` / ``embed`` on random full-dims weights, then
+asserts our converted flax module matches. This closes the
+semantic-parity gap that golden scores (blocked on published weights —
+zero egress) would otherwise cover: if these pass, a published
+checkpoint can only fail goldens for weight-value reasons.
+
+Reference surfaces executed: forward max/mean-topk pooling + norm
+(vdr.py:58-84), embed topk/bow/activate_lexical masking (vdr.py:97-179).
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+REF_ROOT = "/root/reference"
+SHIFT = 999
+VOCAB = 30522
+
+
+def _import_reference_vdr():
+    # the reference's import chain (src.ir.__init__ -> retriever ->
+    # dataset/qa_utils) pulls several packages that aren't installed and
+    # aren't needed for forward/embed — stub them
+    for name, attrs in (("wordcloud", {"WordCloud": object}),
+                        ("pynvml", {}),
+                        ("hydra", {}),
+                        ("omegaconf", {"DictConfig": dict}),
+                        ("spacy", {}),
+                        ("torchvision", {}),
+                        ("torchvision.transforms",
+                         {k: (lambda *a, **kw: None) for k in
+                          ("Compose", "CenterCrop", "Normalize",
+                           "Resize", "ToTensor")})):
+        try:
+            __import__(name)
+        except ImportError:
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[name] = mod
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    import importlib
+
+    return importlib.import_module("src.ir.encoder.vdr")
+
+
+def _full_vocab_lines():
+    """BERT-uncased-shaped vocab: specials at the standard positions,
+    the shifted region below 999, simple whole words above it."""
+    lines = ["[PAD]"]
+    lines += [f"[unused{i}]" for i in range(99)]       # ids 1..99
+    lines += ["[UNK]", "[CLS]", "[SEP]", "[MASK]"]     # 100..103
+    lines += [f"[unused{i}]" for i in range(99, 994)]  # 104..998
+    lines += [f"w{i}" for i in range(999, VOCAB)]      # 999..30521
+    assert len(lines) == VOCAB
+    return lines
+
+
+@pytest.fixture(scope="module")
+def vocab_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("refvocab") / "vocab.txt"
+    p.write_text("\n".join(_full_vocab_lines()), encoding="utf-8")
+    return str(p)
+
+
+def _make_ref_encoder(ref_mod, vocab_file, monkeypatch, **cfg_kw):
+    """Instantiate the reference VDREncoder offline: AutoModel resolves
+    to a random-init full-dims BertModel, AutoTokenizer to a local-vocab
+    BertTokenizerFast."""
+    hf_cfg = transformers.BertConfig(
+        vocab_size=VOCAB, hidden_size=768, num_hidden_layers=12,
+        num_attention_heads=12, intermediate_size=3072,
+        max_position_embeddings=512)
+
+    def fake_model(*a, **k):
+        torch.manual_seed(0)
+        return transformers.BertModel(hf_cfg, add_pooling_layer=False)
+
+    def fake_tok(*a, **k):
+        return transformers.BertTokenizerFast(vocab_file=vocab_file,
+                                              do_lower_case=True)
+
+    monkeypatch.setattr(ref_mod.AutoModel, "from_pretrained", fake_model)
+    monkeypatch.setattr(ref_mod.AutoTokenizer, "from_pretrained",
+                        fake_tok)
+    kw = dict(model_id="bert-base-uncased", max_len=64,
+              shift_vocab_num=SHIFT, vocab_size=VOCAB, hidden_size=768,
+              num_hidden_layers=12, num_attention_heads=12,
+              intermediate_size=3072, max_position_embeddings=512,
+              topk=768, pooling="max", pooling_topk=0)
+    kw.update(cfg_kw)
+    cfg = ref_mod.VDREncoderConfig(**kw)
+    enc = ref_mod.VDREncoder(cfg).eval()
+    with torch.no_grad():  # non-trivial LN so the head math is exercised
+        torch.manual_seed(1)
+        enc.ln.weight.uniform_(0.8, 1.2)
+        enc.ln.bias.uniform_(-0.05, 0.05)
+    return enc
+
+
+def _convert_to_ours(ref_enc, **cfg_overrides):
+    from vsearch_tpu.models.hf_convert import (bert_config_from_hf,
+                                               convert_vdr_params,
+                                               torch_state_dict_to_numpy)
+    from vsearch_tpu.models.vdr import VDREncoderConfig, VDRModule
+
+    bert_cfg = bert_config_from_hf(ref_enc.bert_model.config)
+    cfg = VDREncoderConfig(
+        bert=bert_cfg, shift_vocab_num=ref_enc.config.shift_vocab_num,
+        max_len=64, compat_pad_pooling=True,
+        norm=getattr(ref_enc.config, "norm", False),
+        pooling=getattr(ref_enc.config, "pooling", "max"),
+        pooling_topk=getattr(ref_enc.config, "pooling_topk", 0) or 0,
+        topk=getattr(ref_enc.config, "topk", 768),
+        **cfg_overrides)
+    params = convert_vdr_params(
+        torch_state_dict_to_numpy(ref_enc.state_dict()), bert_cfg)
+    return cfg, params, VDRModule(cfg)
+
+
+@pytest.fixture(scope="module")
+def ref_mod():
+    return _import_reference_vdr()
+
+
+@pytest.fixture(scope="module")
+def ref_encoder(ref_mod, vocab_file):
+    mp = pytest.MonkeyPatch()
+    enc = _make_ref_encoder(ref_mod, vocab_file, mp)
+    yield enc
+    mp.undo()
+
+
+def _random_inputs(seed=7, b=3, l=48):
+    r = np.random.default_rng(seed)
+    ids = r.integers(1000, VOCAB, size=(b, l)).astype(np.int64)
+    mask = np.ones_like(ids)
+    ids[0, 30:] = 0
+    mask[0, 30:] = 0
+    ids[2, 40:] = 0
+    mask[2, 40:] = 0
+    return ids, np.zeros_like(ids), mask
+
+
+def test_reference_forward_parity_max_pooling(ref_encoder):
+    ids, ttype, mask = _random_inputs()
+    with torch.no_grad():
+        expect = ref_encoder(
+            input_ids=torch.tensor(ids),
+            token_type_ids=torch.tensor(ttype),
+            attention_mask=torch.tensor(mask)).numpy()
+    cfg, params, module = _convert_to_ours(ref_encoder)
+    ours = np.asarray(module.apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(ttype),
+        jnp.asarray(mask)))
+    assert ours.shape == expect.shape == (3, VOCAB - SHIFT)
+    np.testing.assert_allclose(ours, expect, rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("pooling,pooling_topk,norm", [
+    ("max", 0, True),
+    ("mean", 4, False),
+])
+def test_reference_forward_parity_variants(ref_mod, vocab_file,
+                                           monkeypatch, pooling,
+                                           pooling_topk, norm):
+    """norm'd max pooling and mean-of-topk pooling, both reference code
+    paths (vdr.py:76-83)."""
+    enc = _make_ref_encoder(ref_mod, vocab_file, monkeypatch,
+                            pooling=pooling, pooling_topk=pooling_topk,
+                            norm=norm)
+    ids, ttype, mask = _random_inputs(seed=11)
+    with torch.no_grad():
+        expect = enc(input_ids=torch.tensor(ids),
+                     token_type_ids=torch.tensor(ttype),
+                     attention_mask=torch.tensor(mask)).numpy()
+    cfg, params, module = _convert_to_ours(enc)
+    ours = np.asarray(module.apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(ttype),
+        jnp.asarray(mask)))
+    np.testing.assert_allclose(ours, expect, rtol=5e-3, atol=5e-3)
+
+
+def _ref_texts(seed=3, n=4):
+    r = np.random.default_rng(seed)
+    texts = []
+    for i in range(n):
+        words = r.integers(999, VOCAB, size=int(r.integers(5, 25)))
+        texts.append(" ".join(f"w{w}" for w in words))
+    return texts
+
+
+def _our_encoder(ref_enc):
+    from vsearch_tpu.models.vdr import VDREncoder
+    from vsearch_tpu.tokenization.wordpiece import WordPieceTokenizer
+
+    cfg, params, _ = _convert_to_ours(ref_enc)
+    vocab = {t: i for i, t in enumerate(_full_vocab_lines())}
+    tok = WordPieceTokenizer(vocab)
+    return VDREncoder(cfg, variables={"params": params}, tokenizer=tok)
+
+
+def test_reference_embed_parity(ref_encoder):
+    """embed() end to end — tokenizer, bow mask, topk∨bow sparsify —
+    against the reference's own embed loop (vdr.py:97-179)."""
+    texts = _ref_texts()
+    with torch.no_grad():
+        expect = ref_encoder.embed(texts, batch_size=8, topk=768).numpy()
+    ours = _our_encoder(ref_encoder).embed(texts, batch_size=8, topk=768)
+    assert ours.shape == expect.shape
+    # identical sparsity pattern (the masks must agree exactly)
+    np.testing.assert_array_equal(np.asarray(ours) != 0, expect != 0)
+    np.testing.assert_allclose(np.asarray(ours), expect, rtol=5e-3,
+                               atol=5e-3)
+
+
+def test_reference_embed_bow_and_lexical_parity(ref_encoder):
+    texts = _ref_texts(seed=5)
+    ours_enc = _our_encoder(ref_encoder)
+    with torch.no_grad():
+        bow_ref = ref_encoder.embed(texts, bow=True).numpy()
+        lex_ref = ref_encoder.embed(texts, topk=0).numpy()
+        nolex_ref = ref_encoder.embed(texts, topk=32,
+                                      activate_lexical=False).numpy()
+    np.testing.assert_allclose(
+        np.asarray(ours_enc.embed(texts, bow=True)), bow_ref,
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ours_enc.embed(texts, topk=0)), lex_ref,
+        rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(ours_enc.embed(texts, topk=32,
+                                  activate_lexical=False)),
+        nolex_ref, rtol=5e-3, atol=5e-3)
+
+
+def test_reference_score_parity(ref_encoder):
+    """Golden-style check: q @ p.T retrieval scores from both stacks."""
+    queries = _ref_texts(seed=13, n=2)
+    passages = _ref_texts(seed=17, n=5)
+    ours_enc = _our_encoder(ref_encoder)
+    with torch.no_grad():
+        q_ref = ref_encoder.embed(queries, topk=768)
+        p_ref = ref_encoder.embed(passages, topk=768)
+        s_ref = (q_ref @ p_ref.t()).numpy()
+    q = np.asarray(ours_enc.embed(queries, topk=768))
+    p = np.asarray(ours_enc.embed(passages, topk=768))
+    np.testing.assert_allclose(q @ p.T, s_ref, rtol=1e-3, atol=0.05)
