@@ -246,6 +246,130 @@ def test_reference_embed_bow_and_lexical_parity(ref_encoder):
         nolex_ref, rtol=5e-3, atol=5e-3)
 
 
+def _randomize_torch_params(module, seed):
+    torch.manual_seed(seed)
+    for n, p in module.named_parameters():
+        with torch.no_grad():
+            if p.ndim == 1 and n.endswith("bias"):
+                p.uniform_(-0.05, 0.05)
+            elif p.ndim == 1:  # LayerNorm scales
+                p.uniform_(0.8, 1.2)
+            else:
+                p.normal_(0, 0.02)
+
+
+@pytest.fixture(scope="module")
+def ref_crossmodal_mods(ref_mod):
+    import importlib
+
+    text_mod = importlib.import_module(
+        "src.ir.encoder.vdr_crossmodal_text")
+    image_mod = importlib.import_module(
+        "src.ir.encoder.vdr_crossmodal_image")
+    return text_mod, image_mod
+
+
+def test_valid_token_ids_match_reference(ref_crossmodal_mods):
+    from vsearch_tpu.models.valid_vocab import VALID_TOKEN_IDS
+
+    text_mod, _ = ref_crossmodal_mods
+    np.testing.assert_array_equal(np.asarray(VALID_TOKEN_IDS),
+                                  np.asarray(text_mod.VALID_TOKEN_IDS))
+
+
+def test_reference_crossmodal_text_parity(ref_crossmodal_mods,
+                                          vocab_file, monkeypatch):
+    """Execute the reference VDRTextEncoder (vdr_crossmodal_text.py:
+    28-57: valid-vocab projection, pool -> elu1p -> L2 norm, max_len
+    padding) and match our converted module + embed pipeline."""
+    from vsearch_tpu.models.crossmodal_text import (VDRTextEncoder,
+                                                    VDRTextEncoderConfig)
+    from vsearch_tpu.models.hf_convert import (
+        bert_config_from_hf, convert_crossmodal_text_params,
+        torch_state_dict_to_numpy)
+    from vsearch_tpu.tokenization.wordpiece import WordPieceTokenizer
+
+    text_mod, _ = ref_crossmodal_mods
+    hf_cfg = transformers.BertConfig(
+        vocab_size=VOCAB, hidden_size=768, num_hidden_layers=12,
+        num_attention_heads=12, intermediate_size=3072,
+        max_position_embeddings=512)
+    monkeypatch.setattr(
+        text_mod.AutoModel, "from_pretrained",
+        lambda *a, **k: transformers.BertModel(hf_cfg,
+                                               add_pooling_layer=False))
+    monkeypatch.setattr(
+        text_mod.AutoTokenizer, "from_pretrained",
+        lambda *a, **k: transformers.BertTokenizerFast(
+            vocab_file=vocab_file, do_lower_case=True))
+    cfg = text_mod.VDRTextEncoderConfig(
+        model_id="bert-base-uncased", max_len=64, vocab_size=VOCAB,
+        hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+        intermediate_size=3072, max_position_embeddings=512)
+    ref_enc = text_mod.VDRTextEncoder(cfg).eval()
+    _randomize_torch_params(ref_enc, seed=23)
+
+    our_cfg = VDRTextEncoderConfig(
+        bert=bert_config_from_hf(hf_cfg), max_len=64,
+        compat_pad_pooling=True)
+    params = convert_crossmodal_text_params(
+        torch_state_dict_to_numpy(ref_enc.state_dict()), our_cfg.bert)
+    vocab = {t: i for i, t in enumerate(_full_vocab_lines())}
+    ours = VDRTextEncoder(our_cfg, variables={"params": params},
+                          tokenizer=WordPieceTokenizer(vocab))
+
+    texts = _ref_texts(seed=29, n=3)
+    with torch.no_grad():
+        expect = ref_enc.embed(texts, topk=768).numpy()
+        expect_bow = ref_enc.embed(texts, topk=768, bow=True).numpy()
+    got = np.asarray(ours.embed(texts, topk=768))
+    assert got.shape == expect.shape
+    np.testing.assert_allclose(got, expect, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(ours.embed(texts, bow=True)), expect_bow,
+        rtol=1e-5, atol=1e-6)
+
+
+def test_reference_crossmodal_image_parity(ref_crossmodal_mods,
+                                           vocab_file, monkeypatch):
+    """Execute the reference VDRImageEncoder ViT (vdr_crossmodal_image
+    .py:184-227) on random pixels and match our converted flax ViT."""
+    from vsearch_tpu.models.crossmodal_image import (
+        VDRImageEncoder, VDRImageEncoderConfig)
+    from vsearch_tpu.models.hf_convert import (
+        convert_vdr_image_params, torch_state_dict_to_numpy)
+
+    _, image_mod = ref_crossmodal_mods
+    monkeypatch.setattr(
+        image_mod.AutoTokenizer, "from_pretrained",
+        lambda *a, **k: transformers.BertTokenizerFast(
+            vocab_file=vocab_file, do_lower_case=True))
+    cfg = image_mod.VDRImageEncoderConfig()
+    ref_enc = image_mod.VDRImageEncoder(cfg).eval()
+    _randomize_torch_params(ref_enc, seed=31)
+
+    r = np.random.default_rng(37)
+    pixels_nchw = r.normal(size=(2, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        expect = ref_enc.embed(torch.tensor(pixels_nchw),
+                               topk=768).numpy()
+
+    our_cfg = VDRImageEncoderConfig()
+    params = convert_vdr_image_params(
+        torch_state_dict_to_numpy(ref_enc.state_dict()), our_cfg)
+    class _Tok:  # image encoder never tokenizes in embed()
+        pass
+    ours = VDRImageEncoder(our_cfg, variables={"params": params},
+                           tokenizer=_Tok())
+    got = ours.embed(pixels_nchw, topk=768)
+    assert got.shape == expect.shape == (2, len(
+        __import__("vsearch_tpu.models.valid_vocab",
+                   fromlist=["VALID_TOKEN_IDS"]).VALID_TOKEN_IDS))
+    # identical top-k support and values
+    np.testing.assert_array_equal(got != 0, expect != 0)
+    np.testing.assert_allclose(got, expect, rtol=5e-3, atol=5e-3)
+
+
 def test_reference_score_parity(ref_encoder):
     """Golden-style check: q @ p.T retrieval scores from both stacks."""
     queries = _ref_texts(seed=13, n=2)

@@ -193,7 +193,9 @@ class BiEncoder:
         """Convert a reference HF checkpoint dir (config.json +
         pytorch_model.bin / model.safetensors with encoder_q./encoder_p.
         prefixed keys) into a live model."""
-        from .models.hf_convert import (convert_dpr_params,
+        from .models.hf_convert import (convert_crossmodal_text_params,
+                                        convert_dpr_params,
+                                        convert_vdr_image_params,
                                         convert_vdr_params)
 
         tokenizer = cls._dir_tokenizer(path, tokenizer)
@@ -201,10 +203,12 @@ class BiEncoder:
             hf_cfg = json.load(f)
         config = cls.config_class.from_dict(hf_cfg)
         # Reference checkpoints max-pool PAD positions (reference
-        # vdr.py:74); enable the compat pooling so their golden scores
-        # reproduce, unless the config says otherwise explicitly.
+        # vdr.py:74, vdr_crossmodal_text.py:53-56+66); enable the compat
+        # pooling so their golden scores reproduce, unless the config
+        # says otherwise explicitly.
         for enc_cfg in (config.encoder_q, config.encoder_p):
-            if (enc_cfg.get("type", "vdr") == "vdr"
+            if (enc_cfg.get("type", "vdr") in
+                    ("vdr", "vdr_crossmodal_text")
                     and "compat_pad_pooling" not in enc_cfg):
                 enc_cfg["compat_pad_pooling"] = True
         sd = _load_torch_state_dict(path)
@@ -220,6 +224,11 @@ class BiEncoder:
                 params = convert_vdr_params(sub, enc.config.bert)
             elif etype == "dpr":
                 params = convert_dpr_params(sub, enc.config.bert)
+            elif etype == "vdr_crossmodal_text":
+                params = convert_crossmodal_text_params(
+                    sub, enc.config.bert)
+            elif etype == "vdr_crossmodal_image":
+                params = convert_vdr_image_params(sub, enc.config)
             else:
                 raise NotImplementedError(
                     f"torch conversion for encoder type {etype}")

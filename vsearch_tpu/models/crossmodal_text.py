@@ -26,6 +26,13 @@ class VDRTextEncoderConfig:
     model_id: str = "bert-base-uncased"
     max_len: int = 256
     topk: int = 768
+    # Reference semantics: encode() pads to max_len unconditionally
+    # (padding="max_length", vdr_crossmodal_text.py:66) and the max-pool
+    # consumes those PAD positions (:53-56), so its embeddings depend on
+    # max_len. Off by default (padding-invariant masked pooling); set
+    # True automatically when converting reference torch checkpoints so
+    # their golden scores reproduce.
+    compat_pad_pooling: bool = False
     bert: BertConfig = dataclasses.field(default_factory=BertConfig)
     type: str = "vdr_crossmodal_text"
 
@@ -87,9 +94,13 @@ class VDRTextModule(nn.Module):
             h, proj, (((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision)  # [B, L, V_valid]
-        valid = attention_mask[:, :, None].astype(jnp.bool_)
-        neg = jnp.asarray(-jnp.inf, dtype=logits.dtype)
-        pooled = jnp.where(valid, logits, neg).max(axis=1)
+        if cfg.compat_pad_pooling:
+            # reference pools every position of the max_len-padded batch
+            pooled = logits.max(axis=1)
+        else:
+            valid = attention_mask[:, :, None].astype(jnp.bool_)
+            neg = jnp.asarray(-jnp.inf, dtype=logits.dtype)
+            pooled = jnp.where(valid, logits, neg).max(axis=1)
         emb = elu1p(pooled)
         # L2 norm is mandatory for cross-modal (reference :56)
         return emb / jnp.maximum(
@@ -98,6 +109,19 @@ class VDRTextModule(nn.Module):
 
 class VDRTextEncoder(TextEncoderBase):
     config_class = VDRTextEncoderConfig
+
+    def encode(self, texts, max_len=None):
+        enc = super().encode(texts, max_len=max_len)
+        if self.config.compat_pad_pooling:
+            # reproduce the reference's padding="max_length": the compat
+            # max-pool consumes PAD positions, so the pad length is part
+            # of the model function
+            target = max_len or self.config.max_len
+            pad = target - enc["input_ids"].shape[1]
+            if pad > 0:
+                enc = {k: np.pad(v, ((0, 0), (0, pad)))
+                       for k, v in enc.items()}
+        return enc
 
     def __init__(self, config: VDRTextEncoderConfig, variables=None,
                  tokenizer=None, rng: Optional[jax.Array] = None):

@@ -103,6 +103,55 @@ def convert_vdr_params(sd: Mapping[str, np.ndarray], config: BertConfig
     return params
 
 
+def convert_crossmodal_text_params(sd: Mapping[str, np.ndarray],
+                                   config: BertConfig) -> Dict:
+    """Reference ``VDRTextEncoder`` (src/ir/encoder/vdr_crossmodal_text.py:
+    28-57) stores exactly the VDR layout — ``bert_model.*`` + a top-level
+    ``ln`` — so the mapping is shared; the valid-vocab projection is
+    config-side (id selection), not a weight."""
+    return convert_vdr_params(sd, config)
+
+
+def convert_vdr_image_params(sd: Mapping[str, np.ndarray], config) -> Dict:
+    """Map a reference ``VDRImageEncoder`` state_dict (src/ir/encoder/
+    vdr_crossmodal_image.py:184-210) onto ``VDRImageModule``'s tree.
+
+    Layout notes:
+    - ``conv1.weight`` is torch NCHW [width, 3, P, P]; flax ``nn.Conv``
+      wants [P, P, 3, width].
+    - ``attn.in_proj_weight`` packs [q; k; v] along rows; our fused
+      ``in_proj`` Dense splits the output the same way, so a plain
+      transpose preserves the q/k/v order.
+    """
+    def lin(prefix):
+        return {"kernel": _np(sd[prefix + ".weight"]).T,
+                "bias": _np(sd[prefix + ".bias"])}
+
+    def ln(prefix):
+        return {"scale": _np(sd[prefix + ".weight"]),
+                "bias": _np(sd[prefix + ".bias"])}
+
+    params = {
+        "conv1": {"kernel": _np(sd["conv1.weight"]).transpose(2, 3, 1, 0)},
+        "positional_embedding": _np(sd["positional_embedding"]),
+        "ln_pre": ln("ln_pre"),
+        "ln_post": ln("ln_post"),
+        "proj": _np(sd["proj"]),
+    }
+    for i in range(config.layers):
+        p = f"transformer.resblocks.{i}"
+        params[f"block_{i}"] = {
+            "ln_1": ln(f"{p}.ln_1"),
+            "ln_2": ln(f"{p}.ln_2"),
+            "in_proj": {"kernel": _np(sd[f"{p}.attn.in_proj_weight"]).T,
+                        "bias": _np(sd[f"{p}.attn.in_proj_bias"])},
+            "out_proj": lin(f"{p}.attn.out_proj"),
+            "c_fc": lin(f"{p}.mlp.c_fc"),
+            "c_proj": lin(f"{p}.mlp.c_proj"),
+        }
+    return params
+
+
 def convert_dpr_params(sd: Mapping[str, np.ndarray], config: BertConfig
                        ) -> Dict:
     """Map a reference DPREncoder state_dict (``bert_model.*``) onto
