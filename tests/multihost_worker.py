@@ -112,3 +112,57 @@ ids = np.asarray(jax.device_get(ids))
 scores = np.asarray(jax.device_get(scores))
 print(f"SEARCH pid={PID} ids={ids.tolist()} "
       f"scores={np.round(scores, 3).tolist()}", flush=True)
+
+# ---- the REAL RetrieverTrainer across the 2-process mesh --------------
+# (round-2 gap: only the hand-rolled step above was multi-process
+# validated; this drives RetrieverTrainer.run_train end to end with
+# process-sharded input + make_array_from_process_local_data batches)
+import json
+import tempfile
+
+from vsearch_tpu.data import BiEncoderDataset
+from vsearch_tpu.retriever import Retriever, RetrieverConfig
+from vsearch_tpu.train.trainer import RetrieverTrainer, TrainConfig
+
+words = ["tea", "mars", "einstein", "dog", "river", "physics",
+         "city", "water", "light", "planet"]
+rows = []
+for i in range(16):
+    w = words[i % len(words)]
+    rows.append({
+        "question": f"what is {w}",
+        "answers": [w],
+        "positive_ctxs": [{"text": f"{w} is the answer about {w}",
+                           "title": w}],
+        "negative_ctxs": [],
+        "hard_negative_ctxs": [{"text": f"unrelated passage {i}"}],
+    })
+workdir = tempfile.mkdtemp(prefix=f"mh_trainer_p{PID}_")
+train_file = os.path.join(workdir, "train.jsonl")
+with open(train_file, "w") as f:
+    f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+
+enc = {
+    "type": "vdr", "max_len": 16, "topk": 8, "shift_vocab_num": 5,
+    **{k: v for k, v in vars(tiny_bert_config(tok.vocab_size)).items()
+       if k in ("vocab_size", "hidden_size", "num_hidden_layers",
+                "num_attention_heads", "intermediate_size",
+                "max_position_embeddings")},
+}
+rcfg = RetrieverConfig(encoder_q=dict(enc), encoder_p=dict(enc),
+                       shared_encoder=True)
+retriever = Retriever(rcfg, tokenizer=tok)
+tcfg = TrainConfig(batch_size=4, num_train_epochs=2,
+                   learning_rate=5e-4, num_epoch_to_save=100,
+                   log_batch_step=1000, prefetch_batches=0,
+                   output_dir=workdir, seed=6)
+trainer = RetrieverTrainer(retriever, tcfg, [BiEncoderDataset(train_file)],
+                           mesh=mesh)
+# per-process shard: 8 of 16 samples -> 2 iterations/epoch, global
+# batch 8 rows over the 4-device mesh
+assert trainer._build_iterator().get_max_iterations() == 2
+trainer.run_train()
+leaves = jax.tree_util.tree_leaves(trainer.state.params)
+checksum = float(sum(float(jnp.sum(jnp.abs(x))) for x in leaves))
+print(f"TRAINER pid={PID} step={int(trainer.state.step)} "
+      f"checksum={checksum:.6f}", flush=True)

@@ -84,3 +84,31 @@ def test_two_process_outputs_include_matching_sharded_search():
         np.testing.assert_allclose(np.sort(got[i])[::-1],
                                    np.sort(exact[i])[::-1][:6],
                                    rtol=5e-3, atol=0.05)
+
+
+@pytest.mark.slow
+def test_two_process_real_trainer():
+    """The actual RetrieverTrainer (not a hand-rolled step) runs
+    multi-process: per-process data shards, global batches assembled
+    via make_array_from_process_local_data, identical final step count
+    and parameter checksum on both processes."""
+    port = str(_free_port())
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), port],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        text=True) for pid in (0, 1)]
+    results = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out[-3000:]
+        m = re.search(r"TRAINER pid=\d step=(\d+) "
+                      r"checksum=([0-9.]+)", out)
+        assert m, out[-3000:]
+        results.append((int(m.group(1)), float(m.group(2))))
+    # 2 iterations/epoch x 2 epochs
+    assert results[0][0] == results[1][0] == 4
+    assert results[0][1] == pytest.approx(results[1][1], rel=1e-6)

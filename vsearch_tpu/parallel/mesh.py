@@ -40,11 +40,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a pytree of host arrays with batch-dim sharding."""
+    """Place a pytree of host arrays with batch-dim sharding.
+
+    Single process: a plain sharded ``device_put``. Multi-process (mesh
+    spans hosts): each process passes only its LOCAL rows and the global
+    array is assembled via ``jax.make_array_from_process_local_data`` —
+    the counterpart of the reference's per-rank DDP batches
+    (src/ir/data/ddp_iterators.py:78-85), with no cross-host data
+    movement: every process's rows land on its own devices."""
     sh = batch_sharding(mesh)
     dp = mesh.shape.get("dp", 1)
+    pc = jax.process_count()
 
     def place(x):
+        if pc > 1:
+            local_dp = max(dp // pc, 1)
+            if x.shape[0] % local_dp != 0:
+                raise ValueError(
+                    f"local batch dim {x.shape[0]} is not divisible by "
+                    f"this process's dp share ({local_dp} of {dp})")
+            global_shape = (x.shape[0] * pc,) + tuple(x.shape[1:])
+            return jax.make_array_from_process_local_data(
+                sh, np.asarray(x), global_shape)
         if dp > 1 and x.shape[0] % dp != 0:
             raise ValueError(
                 f"batch dim {x.shape[0]} is not divisible by the mesh's "

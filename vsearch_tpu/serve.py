@@ -2,9 +2,13 @@
 
 The reference has no serving story (retrieval happens in scripts). For
 deployment, this wraps a ``Retriever`` + index behind a threaded stdlib
-HTTP server with request micro-batching-by-lock (the TPU runs one search
-program at a time; concurrent requests queue on the device anyway) and
-step-time observability.
+HTTP server with request COALESCING: search latency is nearly flat in
+batch size (one kernel walks the whole index regardless of B — measured
+85→96 ms for B=1→128, docs/SERVING.md), so while one device call runs,
+every request that queued behind it is drained and merged into the NEXT
+single call. Under concurrency the device sees a few big batches instead
+of a serialized stream of small ones — aggregate QPS scales with the
+offered load instead of 1/latency.
 
 Endpoints:
   POST /search  {"queries": [...], "k": 5, "rerank": false,
@@ -17,7 +21,9 @@ from __future__ import annotations
 
 import json
 import logging
+import queue
 import threading
+from collections import defaultdict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 
@@ -28,31 +34,108 @@ from .utils.profiling import StepTimer
 logger = logging.getLogger(__name__)
 
 
+class SearchCoalescer:
+    """Merge concurrent search requests into single device calls.
+
+    One dispatcher thread owns the device (so no lock is needed on the
+    search path). Each wakeup drains everything already queued, groups
+    by (k, rerank) — different groups can't share a device program —
+    and runs ONE retrieve per group. No artificial wait is added: an
+    idle server dispatches a lone request immediately; batching emerges
+    exactly when the device is the bottleneck.
+    """
+
+    def __init__(self, search_fn, max_queries: int = 256):
+        self._search_fn = search_fn
+        self._max_queries = max_queries
+        self._q: queue.Queue = queue.Queue()
+        self.device_calls = 0  # observability: compare vs request count
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="search-coalescer")
+        self._thread.start()
+
+    def submit(self, queries, k: int, rerank: bool):
+        done = threading.Event()
+        slot: Dict[str, Any] = {}
+        self._q.put((list(queries), k, rerank, done, slot))
+        done.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["ids"], slot["scores"]
+
+    def _drain(self, first):
+        batch = [first]
+        total = len(first[0])
+        while total < self._max_queries:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            batch.append(item)
+            total += len(item[0])
+        return batch
+
+    def _loop(self):
+        while True:
+            batch = self._drain(self._q.get())
+            groups = defaultdict(list)
+            for item in batch:
+                groups[(item[1], item[2])].append(item)
+            for (k, rerank), items in groups.items():
+                queries = [q for it in items for q in it[0]]
+                try:
+                    ids, scores = self._search_fn(queries, k, rerank)
+                    self.device_calls += 1
+                    row = 0
+                    for it in items:
+                        n = len(it[0])
+                        it[4]["ids"] = ids[row: row + n]
+                        it[4]["scores"] = scores[row: row + n]
+                        row += n
+                except Exception as exc:  # per-request error surfaces
+                    for it in items:
+                        it[4]["error"] = exc
+                finally:
+                    for it in items:
+                        it[3].set()
+
+
 class RetrieverService:
     """Thread-safe facade over a Retriever + index."""
 
-    def __init__(self, retriever, default_k: int = 10):
+    def __init__(self, retriever, default_k: int = 10,
+                 coalesce: bool = True):
         self.retriever = retriever
         self.default_k = default_k
         self.search_timer = StepTimer(window=256)
         self.embed_timer = StepTimer(window=256)
         self._lock = threading.Lock()
+        self._coalescer = (SearchCoalescer(self._device_search)
+                           if coalesce else None)
+
+    def _device_search(self, queries, k: int, rerank: bool):
+        with self.search_timer.step(items=len(queries)):
+            res = self.retriever.retrieve(queries, k=k, rerank=rerank)
+        return np.asarray(res.ids), np.asarray(res.scores)
 
     def search(self, queries, k: Optional[int] = None,
                rerank: bool = False, return_texts: bool = False
                ) -> Dict[str, Any]:
         k = k or self.default_k
-        with self._lock, self.search_timer.step(items=len(queries)):
-            res = self.retriever.retrieve(queries, k=k, rerank=rerank)
-        ids = np.asarray(res.ids)
+        if self._coalescer is not None:
+            ids, scores = self._coalescer.submit(queries, k,
+                                                 bool(rerank))
+        else:
+            with self._lock:
+                ids, scores = self._device_search(queries, k, rerank)
         out = {
-            "ids": ids.tolist(),
-            "scores": np.asarray(res.scores).tolist(),
+            "ids": np.asarray(ids).tolist(),
+            "scores": np.asarray(scores).tolist(),
         }
         if return_texts and self.retriever.index is not None:
             out["texts"] = [
                 [self.retriever.index.get_sample(int(i)) for i in row]
-                for row in ids]
+                for row in np.asarray(ids)]
         return out
 
     def embed(self, texts, sparse: bool = True) -> Dict[str, Any]:
@@ -70,8 +153,11 @@ class RetrieverService:
             return {"sparse": False, "embeddings": emb.tolist()}
 
     def stats(self) -> Dict[str, Any]:
-        return {"search": self.search_timer.summary(),
-                "embed": self.embed_timer.summary()}
+        out = {"search": self.search_timer.summary(),
+               "embed": self.embed_timer.summary()}
+        if self._coalescer is not None:
+            out["coalesced_device_calls"] = self._coalescer.device_calls
+        return out
 
 
 def make_handler(service: RetrieverService):
@@ -121,9 +207,11 @@ def make_handler(service: RetrieverService):
 
 
 def serve(retriever, host: str = "0.0.0.0", port: int = 8080,
-          default_k: int = 10) -> ThreadingHTTPServer:
+          default_k: int = 10, coalesce: bool = True
+          ) -> ThreadingHTTPServer:
     """Start the HTTP server (returns it; call .serve_forever())."""
-    service = RetrieverService(retriever, default_k=default_k)
+    service = RetrieverService(retriever, default_k=default_k,
+                               coalesce=coalesce)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     server.service = service
     logger.info("serving retriever on %s:%d", host, port)

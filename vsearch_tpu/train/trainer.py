@@ -138,9 +138,18 @@ class RetrieverTrainer:
 
     # -- setup -------------------------------------------------------------
     def _build_iterator(self, offset: int = 0) -> MultiSetDataIterator:
+        # Multi-process SPMD: each process tokenizes only its own shard
+        # of the data (counterpart of the reference's per-rank
+        # ShardedDataIterator, src/ir/data/ddp_iterators.py:78-85);
+        # cfg.batch_size is the PER-PROCESS batch, the global
+        # contrastive batch is batch_size * process_count, assembled in
+        # shard_batch via make_array_from_process_local_data.
         return get_data_iterator(
             self.datasets, self.cfg.batch_size, is_train_set=True,
             shuffle=True, shuffle_seed=self.cfg.seed, offset=offset,
+            rank=jax.process_index(),
+            num_shards=jax.process_count(),
+            shard_id=jax.process_index(),
             sampling_rates=self.cfg.train_sampling_rates,
             require_positive=self.cfg.require_positive,
             require_hard_negative=self.cfg.require_hard_negative)
@@ -412,7 +421,10 @@ class RetrieverTrainer:
         self._sync_params_to_retriever()
         path = os.path.join(self.cfg.output_dir,
                             f"{self.cfg.save_name_prefix}_{suffix}")
-        self.retriever.save_pretrained(path)
+        # params are replicated; only one process writes the HF files
+        # (orbax train-state saves stay collective across processes)
+        if jax.process_index() == 0:
+            self.retriever.save_pretrained(path)
         return path
 
     def save_train_checkpoint(self, epoch: int, offset: int = 0):
