@@ -184,6 +184,43 @@ def main():
         recalls.append(float(np.mean(ok)))
     recall = float(np.mean(recalls))
 
+    # ---- beta search QPS (BoT first stage + on-the-fly rerank) ----------
+    # the reference's flagship semi-parametric mode (README.md:175-202):
+    # binary-index hits re-embedded and re-scored parametrically. The
+    # rerank is embed-bound, so this rides the encoder head/gelu work
+    # and the cross-query candidate dedup in _beta_rerank.
+    beta_qps = 0.0
+    if not args.skip_embed_bench and jax.default_backend() == "tpu":
+        from vsearch_tpu.retriever import Retriever, RetrieverConfig
+
+        vs = tokenizer.vocab_size
+        enc = {"type": "vdr", "max_len": 128, "topk": 768,
+               "shift_vocab_num": 999, "vocab_size": vs,
+               "hidden_size": 768, "num_hidden_layers": 12,
+               "num_attention_heads": 12, "intermediate_size": 3072,
+               "max_position_embeddings": 512, "dtype": jnp.bfloat16}
+        rcfg = RetrieverConfig(encoder_q=dict(enc), encoder_p=dict(enc),
+                               shared_encoder=True)
+        retriever = Retriever(rcfg, tokenizer=tokenizer)
+        index.data = corpus
+        retriever.index = index
+        nbq = 32
+        beta_queries = [" ".join(c.split()[:12]) for c in corpus[:nbq]]
+        retriever.retrieve(beta_queries, k=args.topk, rerank=True,
+                           batch_size=256)  # compile
+        t0 = time.perf_counter()
+        reps = 2
+        for _ in range(reps):
+            retriever.retrieve(beta_queries, k=args.topk, rerank=True,
+                               batch_size=256)
+        beta_qps = nbq * reps / (time.perf_counter() - t0)
+        index.data = None
+        # free the bert-base params + compiled embed executables before
+        # the 2M-row sections (HBM budget)
+        del retriever
+        import gc
+        gc.collect()
+
     # ---- wiki21m-shard-scale search (synthetic binary index, device) ----
     # the 200k corpus above exercises the full production path
     # (tokenize -> ELL -> pack); this extra measures the flagship kernel
@@ -264,6 +301,68 @@ def main():
         scale_recall = float(scale_recall_fn(chunks[0], bm, ids_scale))
         del words, bm
 
+    # ---- alpha search at scale: real-valued sparse, proxy + rerank ------
+    # the second flagship claim (ARCHITECTURE.md): large REAL-VALUED
+    # sparse indexes search via binary-support proxy scoring + exact
+    # weighted rerank (ops/sketch.py binary_proxy_search). Reference hot
+    # path: sparse-CSR matmul on one GPU (src/ir/retriever/index.py:88-94).
+    alpha_qps, alpha_recall = 0.0, None
+    if args.scale_rows and jax.default_backend() == "tpu":
+        from vsearch_tpu.ops.bitpack import pack_ell_device
+        from vsearch_tpu.ops.ell import ELLMatrix, ell_matvec_chunked
+        from vsearch_tpu.ops.sketch import binary_proxy_search
+
+        nnz = 64  # ~wiki21m-passage density
+        # multiple of the recall fn's chunk_rows: ell_matvec_chunked
+        # pads cols/vals in-jit otherwise (a ~2 GB transient copy at
+        # this scale -> OOM next to the 8 GB proxy)
+        n_pad2 = -(-args.scale_rows // 65536) * 65536
+
+        @jax.jit
+        def gen_ell(key):
+            k1, k2 = jax.random.split(key)
+            cols = jax.random.randint(k1, (n_pad2, nnz), 0, v,
+                                      dtype=jnp.int32)
+            # elu1p-like positive weights around 1
+            vals = 0.5 + jax.random.uniform(k2, (n_pad2, nnz))
+            row = jnp.arange(n_pad2)
+            real = (row < args.scale_rows)[:, None]
+            return (jnp.where(real, cols, 0),
+                    jnp.where(real, nnz, 0).astype(jnp.int32)[:, 0],
+                    jnp.where(real, vals, 0.0).astype(jnp.bfloat16))
+
+        cols_d, nnz_d, vals_d = gen_ell(jax.random.PRNGKey(3))
+        ell2 = ELLMatrix(cols=cols_d, nnz=nnz_d, vals=vals_d,
+                         num_cols=v, sentinel_padded=False)
+        proxy = pack_ell_device(ell2)
+        jax.block_until_ready(proxy.words)
+        C = 512
+        afn = jax.jit(lambda qd, e, bmx: binary_proxy_search(
+            qd, e, bmx, k=args.topk, num_candidates=C))
+        r = afn(chunks[0], ell2, proxy)
+        float(r[1][0, 0])
+        t0 = time.perf_counter()
+        for qd in chunks:
+            r = afn(qd, ell2, proxy)
+        float(r[1][0, 0])
+        alpha_qps = nq / (time.perf_counter() - t0)
+
+        # recall vs exact weighted scoring over the same ELL (device)
+        nrq = 8
+        ids_a = afn(chunks[0], ell2, proxy)[0][:nrq]
+
+        @jax.jit
+        def alpha_recall_fn(qd, e, ids):
+            sc = ell_matvec_chunked(qd[:nrq], e, chunk_rows=65536)
+            kth = jax.lax.top_k(sc, args.topk)[0][:, -1]
+            got = jnp.take_along_axis(sc, ids, axis=1)
+            tol = 1e-3 * jnp.maximum(kth, 1.0)
+            return jnp.mean((got >= (kth - tol)[:, None])
+                            .astype(jnp.float32))
+
+        alpha_recall = float(alpha_recall_fn(chunks[0], ell2, ids_a))
+        del ell2, proxy, cols_d, nnz_d, vals_d
+
     # ---- neural embed throughput (bert-base VDR forward, bf16) ----------
     embed_ps = 0.0
     if not args.skip_embed_bench:
@@ -312,10 +411,15 @@ def main():
         "index_rows": int(ell.shape[0]),
         "index_nnz_pad": int(ell.nnz_pad),
         "embed_passages_per_s": round(embed_ps, 1),
+        "beta_search_qps": round(beta_qps, 1),
         "scale_rows": args.scale_rows,
         "scale_search_qps": round(scale_qps, 1),
         "scale_search_recall": (None if scale_recall is None
                                 else round(scale_recall, 4)),
+        "alpha_scale_qps": round(alpha_qps, 1),
+        "alpha_scale_recall": (None if alpha_recall is None
+                               else round(alpha_recall, 4)),
+        "alpha_rerank_candidates": 512,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))

@@ -162,3 +162,29 @@ def test_embed_sparse_lexical_union(tiny_encoder):
                                            activate_lexical=True)
     got = {int(c) for c, v in zip(cols[0], vals[0]) if v > 0}
     assert got == set(int(j) for j in np.nonzero(dense[0])[0])
+
+
+def test_vocab_chunked_pooling_matches_small_batch(rng):
+    """The large-batch head (b*l >= 8192 -> vocab-chunked scan) must
+    produce the same embeddings as the small-batch L-chunked path."""
+    tok = make_tokenizer()
+    cfg = VDREncoderConfig(bert=tiny_bert_config(tok.vocab_size),
+                           shift_vocab_num=5, max_len=64, topk=16)
+    module = VDRModule(cfg)
+    b, l = 300, 32  # b*l = 9600 >= 8192 -> vocab-chunked
+    ids = rng.integers(5, tok.vocab_size, size=(b, l)).astype(np.int32)
+    ids[:, -7:] = 0  # ragged padding exercised through the mask
+    mask = (ids != 0).astype(np.int32)
+    ttype = np.zeros_like(ids)
+    variables = jax.jit(module.init)(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, 8), jnp.int32),
+                                     jnp.zeros((1, 8), jnp.int32),
+                                     jnp.zeros((1, 8), jnp.int32))
+    full = np.asarray(module.apply(variables, jnp.asarray(ids),
+                                   jnp.asarray(ttype),
+                                   jnp.asarray(mask)))
+    # rows 0..15 alone: b*l = 512 -> L-chunked path
+    part = np.asarray(module.apply(variables, jnp.asarray(ids[:16]),
+                                   jnp.asarray(ttype[:16]),
+                                   jnp.asarray(mask[:16])))
+    np.testing.assert_allclose(full[:16], part, rtol=2e-5, atol=2e-5)

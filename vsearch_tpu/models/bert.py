@@ -31,6 +31,19 @@ class BertConfig:
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.1
     dtype: jnp.dtype = jnp.float32  # compute dtype (bf16 on TPU hot paths)
+    # GELU flavor: None resolves by dtype. Exact (erf) GELU is VPU-bound
+    # and costs ~20% of the whole bert-base forward on this target
+    # (measured 58.1 -> 46.3 ms at [256, 128] bf16,
+    # scripts/probe_embed_mfu.py); the tanh approximation's ~1e-3 error
+    # is below bf16's own quantization, so bf16 defaults to approximate
+    # while f32 keeps erf for exact torch-checkpoint parity.
+    approx_gelu: Optional[bool] = None
+
+    @property
+    def gelu_approximate(self) -> bool:
+        if self.approx_gelu is not None:
+            return self.approx_gelu
+        return self.dtype == jnp.bfloat16
 
     @classmethod
     def tiny(cls, vocab_size: int = 512) -> "BertConfig":
@@ -102,7 +115,7 @@ class BertLayer(nn.Module):
             hidden, attention_mask, deterministic=deterministic)
         inter = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
                          name="intermediate")(attn)
-        inter = nn.gelu(inter, approximate=False)
+        inter = nn.gelu(inter, approximate=cfg.gelu_approximate)
         out = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="output")(inter)
         out = nn.Dropout(cfg.hidden_dropout_prob)(
             out, deterministic=deterministic)

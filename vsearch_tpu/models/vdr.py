@@ -132,30 +132,58 @@ class VDRModule(nn.Module):
         else:
             valid = attention_mask.astype(jnp.bool_)
         if cfg.pooling == "max":
-            # elu1p commutes with max; pool raw logits via an L-chunked
-            # scan with a running max — the [B, L, V'] logits tensor
-            # never materializes (~1 GB at B=32, L=256). Chunks sized so
-            # the matmul M-dim is >= 4096 rows (the MXU-efficient
-            # regime on this target).
+            # elu1p commutes with max, so pool raw logits. Two chunked
+            # strategies keep the [B, L, V'] logits tensor out of HBM:
             b, l, _ = h.shape
-            want = max(1, -(-4096 // b))
-            ch = next((c for c in (64, 32, 16, 8, 4, 2)
-                       if l % c == 0 and c >= want), None)
-            if ch is None:
+            if b * l >= 8192:
+                # vocab-chunked: scan over V' chunks with the FULL
+                # M = B*L GEMM each step. The K=768 matmuls on this
+                # target only reach peak with both M and N large —
+                # measured 154 TF/s vs 90-97 for the L-chunked scan at
+                # [256, 128] (scripts/probe_embed_mfu.py) — a 1.6x
+                # head speedup at serving batch sizes.
+                hx = h.reshape(b * l, -1)
+                n_chunks = max(1, -(-proj.shape[0] // 2048))
+                nc_raw = -(-proj.shape[0] // n_chunks)
+                nc = -(-nc_raw // 128) * 128  # lane-aligned chunk
+                extra = n_chunks * nc - proj.shape[0]
+                projc = (jnp.pad(proj, ((0, extra), (0, 0)))
+                         if extra else proj)
+                ws = projc.reshape(n_chunks, nc, -1)  # [C, nc, H]
+
+                def vbody(_, wc):
+                    lg = jax.lax.dot_general(
+                        hx, wc, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision)
+                    lg = lg.reshape(b, l, nc)
+                    return None, jnp.where(valid[:, :, None], lg,
+                                           -jnp.inf).max(axis=1)
+
+                _, out = jax.lax.scan(vbody, None, ws)  # [C, B, nc]
+                pooled = jnp.moveaxis(out, 0, 1).reshape(
+                    b, n_chunks * nc)[:, : proj.shape[0]]
+            else:
+                # small batches: L-chunked running max, M >= 4096 rows
+                want = max(1, -(-4096 // b))
                 ch = next((c for c in (64, 32, 16, 8, 4, 2)
-                           if l % c == 0), 1)
-            hc = jnp.moveaxis(h.reshape(b, l // ch, ch, -1), 1, 0)
-            mc = jnp.moveaxis(valid.reshape(b, l // ch, ch), 1, 0)
+                           if l % c == 0 and c >= want), None)
+                if ch is None:
+                    ch = next((c for c in (64, 32, 16, 8, 4, 2)
+                               if l % c == 0), 1)
+                hc = jnp.moveaxis(h.reshape(b, l // ch, ch, -1), 1, 0)
+                mc = jnp.moveaxis(valid.reshape(b, l // ch, ch), 1, 0)
 
-            def body(carry, xs):
-                hx, mx = xs  # [B, ch, H], [B, ch]
-                lg = project(hx)
-                lg = jnp.where(mx[:, :, None], lg, -jnp.inf).max(axis=1)
-                return jnp.maximum(carry, lg), None
+                def body(carry, xs):
+                    hx, mx = xs  # [B, ch, H], [B, ch]
+                    lg = project(hx)
+                    lg = jnp.where(mx[:, :, None], lg,
+                                   -jnp.inf).max(axis=1)
+                    return jnp.maximum(carry, lg), None
 
-            pooled, _ = jax.lax.scan(
-                body, jnp.full((b, proj.shape[0]), -jnp.inf,
-                               jnp.float32), (hc, mc))
+                pooled, _ = jax.lax.scan(
+                    body, jnp.full((b, proj.shape[0]), -jnp.inf,
+                                   jnp.float32), (hc, mc))
             emb = elu1p(pooled)
         elif cfg.pooling == "mean":
             logits = project(h)  # [B, L, V']

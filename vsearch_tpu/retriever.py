@@ -112,17 +112,22 @@ class Retriever(BiEncoder):
         moves ~100x less data off the device."""
         ret_ids = np.asarray(results.ids)  # [B, k]
         k = ret_ids.shape[1]  # the index may have clamped k to its rows
-        flat_ids = ret_ids.reshape(-1).tolist()
-        ret_texts = [_passage_text(index.get_sample(i)) for i in flat_ids]
         b = q_emb.shape[0]
+        # cross-query candidate dedup: similar queries share candidates,
+        # and each re-embedding costs a full encoder forward — embed
+        # every distinct passage once and gather per (query, slot)
+        uniq_ids, inverse = np.unique(ret_ids.reshape(-1),
+                                      return_inverse=True)
+        ret_texts = [_passage_text(index.get_sample(int(i)))
+                     for i in uniq_ids]
         q32 = np.asarray(q_emb, dtype=np.float32)
         if hasattr(self.encoder_p, "embed_sparse"):
             # activate_lexical=True matches the reference's default
             # embed() masking for the rerank stage (retriever.py:140)
             cols, vals = self.encoder_p.embed_sparse(
                 ret_texts, batch_size=batch_size, activate_lexical=True)
-            cols = cols.reshape(b, k, -1)
-            vals = vals.reshape(b, k, -1).astype(np.float32)
+            cols = cols[inverse].reshape(b, k, -1)
+            vals = vals[inverse].reshape(b, k, -1).astype(np.float32)
             qpad = np.concatenate(
                 [q32, np.zeros((b, 1), np.float32)], axis=1)
             # score[b, i] = sum_j vals[b,i,j] * q[b, cols[b,i,j]]
@@ -135,7 +140,7 @@ class Retriever(BiEncoder):
         else:
             p_emb = self.encoder_p.embed(ret_texts,
                                          batch_size=batch_size)
-            p_emb = p_emb.reshape(b, k, -1)
+            p_emb = p_emb[inverse].reshape(b, k, -1)
             rescored = np.einsum("bkv,bv->bk",
                                  p_emb.astype(np.float32), q32)
         order = np.argsort(-rescored, axis=1)
