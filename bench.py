@@ -336,7 +336,10 @@ def main():
                          num_cols=v, sentinel_padded=False)
         proxy = pack_ell_device(ell2)
         jax.block_until_ready(proxy.words)
-        C = 512
+        # measured tradeoff at 2M rows (scripts/probe: C=256/512/1024/
+        # 2048 -> 920/884/652/413 QPS at recall .716/.871/.970/.996);
+        # C=1024 is the knee
+        C = 1024
         afn = jax.jit(lambda qd, e, bmx: binary_proxy_search(
             qd, e, bmx, k=args.topk, num_candidates=C))
         r = afn(chunks[0], ell2, proxy)
@@ -419,7 +422,7 @@ def main():
         "alpha_scale_qps": round(alpha_qps, 1),
         "alpha_scale_recall": (None if alpha_recall is None
                                else round(alpha_recall, 4)),
-        "alpha_rerank_candidates": 512,
+        "alpha_rerank_candidates": 1024,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))
