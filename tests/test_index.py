@@ -182,3 +182,16 @@ def test_bot_auto_policy_resolution(monkeypatch, rng):
     assert idx._resolved_selection() == "bucketed"
     idx.selection = "bucketed_approx"
     assert idx._resolved_selection() == "bucketed_approx"
+
+
+def test_move_to_device_compat_shim(rng):
+    """Reference API compat: index.move_to_device(device) exists and is
+    a no-op returning self (reference src/ir/retriever/index.py:54-57;
+    JAX arrays are device-resident on creation)."""
+    idx = DenseIndex()
+    idx.set_vectors(rng.normal(size=(10, 8)).astype(np.float32))
+    assert idx.move_to_device("tpu:0") is idx
+    sp_idx = SparseIndex()
+    sp_idx.set_vectors(sp.random(10, 20, density=0.2, format="csr",
+                                 dtype=np.float32))
+    assert sp_idx.move_to_device() is sp_idx

@@ -157,6 +157,12 @@ class DenseIndex:
         return 0 if self.vector is None else int(self.vector.shape[0])
 
     # -- distribution ------------------------------------------------------
+    def move_to_device(self, device=None):
+        """Reference-compat shim (src/ir/retriever/index.py:54-57): JAX
+        arrays are device-resident on creation, so this is a no-op; use
+        ``to_mesh`` to shard across chips."""
+        return self
+
     def to_mesh(self, mesh, axis_name: str = "dp"):
         """Shard index rows across the mesh; subsequent searches run the
         per-shard top-k + ICI merge path (parallel/sharded_search.py)."""

@@ -174,6 +174,12 @@ class SparseIndex(DenseIndex):
         return 0 if self.ell is None else self.ell.shape[0]
 
     # -- distribution ------------------------------------------------------
+    def move_to_device(self, device=None):
+        """Reference-compat shim (src/ir/retriever/index.py:54-57): JAX
+        arrays are device-resident on creation, so this is a no-op; use
+        ``to_mesh`` to shard across chips."""
+        return self
+
     def to_mesh(self, mesh, axis_name: str = "dp"):
         """Row-shard the ELL across the mesh; searches switch to the
         per-shard exact scorer + ICI top-k merge."""
