@@ -156,3 +156,37 @@ def test_beta_rerank_with_k_exceeding_corpus(retriever):
     ids = np.asarray(res.ids)
     assert ids.shape == (1, len(CORPUS))
     assert sorted(ids[0].tolist()) == list(range(len(CORPUS)))
+
+
+def test_biencoder_forward_reference_surface(rng):
+    """Reference-compat forward (biencoder.py:61-73): token tensors ->
+    (q_emb, p_emb) raw embeddings, matching each encoder's module."""
+    import jax.numpy as jnp
+
+    from tests.helpers import make_tokenizer, tiny_bert_config
+    from vsearch_tpu.retriever import Retriever, RetrieverConfig
+
+    tok = make_tokenizer()
+    enc = {
+        "type": "vdr", "max_len": 24, "topk": 16, "shift_vocab_num": 5,
+        **{k: v for k, v in vars(tiny_bert_config(tok.vocab_size)).items()
+           if k in ("vocab_size", "hidden_size", "num_hidden_layers",
+                    "num_attention_heads", "intermediate_size",
+                    "max_position_embeddings")},
+    }
+    r = Retriever(RetrieverConfig(encoder_q=dict(enc),
+                                  encoder_p=dict(enc),
+                                  shared_encoder=True), tokenizer=tok)
+    ids = rng.integers(5, tok.vocab_size, size=(2, 10)).astype(np.int32)
+    seg = np.zeros_like(ids)
+    mask = np.ones_like(ids)
+    q_emb, p_emb = r.forward(ids, seg, mask, ids, seg, mask)
+    assert q_emb.shape == p_emb.shape == (2, tok.vocab_size - 5)
+    direct = r.encoder_q.module.apply(
+        r.encoder_q.variables, jnp.asarray(ids), jnp.asarray(seg),
+        jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(q_emb), np.asarray(direct),
+                               rtol=1e-6)
+    # callable like the reference's nn.Module
+    q2, _ = r(ids, seg, mask, ids, seg, mask)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q_emb))

@@ -82,6 +82,28 @@ class BiEncoder:
             self.encoder_p = p_cls(p_cfg_cls.from_dict(config.encoder_p),
                                    tokenizer=tokenizer, rng=rp)
 
+    # -- training forward (reference biencoder.py:61-73) -------------------
+    def forward(self, q_ids, q_segments, q_attn_mask,
+                p_ids, p_segments, p_attn_mask):
+        """Token tensors -> (q_emb, p_emb) raw embeddings, the
+        reference's training forward. No topk/bow masking here — the
+        loss applies its own sparsification (as in the reference, where
+        compute_vdr_loss consumes the raw embeddings). For actual
+        training prefer ``train.step.make_train_step``, which fuses
+        this with the loss into one SPMD program; this surface exists
+        for API parity and ad-hoc use."""
+        import jax.numpy as jnp
+
+        q_emb = self.encoder_q.module.apply(
+            self.encoder_q.variables, jnp.asarray(q_ids),
+            jnp.asarray(q_segments), jnp.asarray(q_attn_mask))
+        p_emb = self.encoder_p.module.apply(
+            self.encoder_p.variables, jnp.asarray(p_ids),
+            jnp.asarray(p_segments), jnp.asarray(p_attn_mask))
+        return q_emb, p_emb
+
+    __call__ = forward
+
     # -- encoding (reference biencoder.py:75-109) --------------------------
     def encode_queries(self, queries: List[str], batch_size: Optional[int]
                        = None, **kwargs) -> np.ndarray:
