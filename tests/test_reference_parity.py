@@ -370,6 +370,52 @@ def test_reference_crossmodal_image_parity(ref_crossmodal_mods,
     np.testing.assert_allclose(got, expect, rtol=5e-3, atol=5e-3)
 
 
+def test_reference_dpr_parity(ref_mod, vocab_file, monkeypatch):
+    """Execute the reference DPREncoder (dpr.py:33-46: CLS vector) and
+    match our converted DPRModule — completing the encoder family."""
+    import importlib
+
+    from vsearch_tpu.models.dpr import DPREncoderConfig, DPRModule
+    from vsearch_tpu.models.hf_convert import (bert_config_from_hf,
+                                               convert_dpr_params,
+                                               torch_state_dict_to_numpy)
+
+    dpr_mod = importlib.import_module("src.ir.encoder.dpr")
+    hf_cfg = transformers.BertConfig(
+        vocab_size=VOCAB, hidden_size=768, num_hidden_layers=12,
+        num_attention_heads=12, intermediate_size=3072,
+        max_position_embeddings=512)
+    monkeypatch.setattr(
+        dpr_mod.AutoModel, "from_pretrained",
+        lambda *a, **k: transformers.BertModel(hf_cfg,
+                                               add_pooling_layer=False))
+    monkeypatch.setattr(
+        dpr_mod.AutoTokenizer, "from_pretrained",
+        lambda *a, **k: transformers.BertTokenizerFast(
+            vocab_file=vocab_file, do_lower_case=True))
+    cfg = dpr_mod.DPREncoderConfig(
+        model_id="bert-base-uncased", max_len=64, vocab_size=VOCAB,
+        hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+        intermediate_size=3072, max_position_embeddings=512)
+    ref_enc = dpr_mod.DPREncoder(cfg).eval()
+    _randomize_torch_params(ref_enc.bert_model, seed=41)
+
+    ids, ttype, mask = _random_inputs(seed=43)
+    with torch.no_grad():
+        expect = ref_enc(input_ids=torch.tensor(ids),
+                         token_type_ids=torch.tensor(ttype),
+                         attention_mask=torch.tensor(mask)).numpy()
+    our_cfg = DPREncoderConfig(bert=bert_config_from_hf(hf_cfg),
+                               max_len=64)
+    params = convert_dpr_params(
+        torch_state_dict_to_numpy(ref_enc.state_dict()), our_cfg.bert)
+    ours = np.asarray(DPRModule(our_cfg).apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(ttype),
+        jnp.asarray(mask)))
+    assert ours.shape == expect.shape == (3, 768)
+    np.testing.assert_allclose(ours, expect, rtol=5e-3, atol=5e-3)
+
+
 def test_reference_score_parity(ref_encoder):
     """Golden-style check: q @ p.T retrieval scores from both stacks."""
     queries = _ref_texts(seed=13, n=2)
