@@ -190,3 +190,47 @@ def test_biencoder_forward_reference_surface(rng):
     # callable like the reference's nn.Module
     q2, _ = r(ids, seg, mask, ids, seg, mask)
     np.testing.assert_allclose(np.asarray(q2), np.asarray(q_emb))
+
+
+def test_beta_rerank_dedup_and_sort_invariance(rng):
+    """Rerank with cross-query dedup + length-sorted embed batches must
+    return exactly what per-slot embedding would: overlapping candidate
+    sets across queries, strongly varied text lengths."""
+    from tests.helpers import make_tokenizer, tiny_bert_config
+    from vsearch_tpu.index import SearchResults
+    from vsearch_tpu.retriever import Retriever, RetrieverConfig
+
+    tok = make_tokenizer()
+    enc = {
+        "type": "vdr", "max_len": 32, "topk": 16, "shift_vocab_num": 5,
+        **{k: v for k, v in vars(tiny_bert_config(tok.vocab_size)).items()
+           if k in ("vocab_size", "hidden_size", "num_hidden_layers",
+                    "num_attention_heads", "intermediate_size",
+                    "max_position_embeddings")},
+    }
+    r = Retriever(RetrieverConfig(encoder_q=dict(enc),
+                                  encoder_p=dict(enc),
+                                  shared_encoder=True), tokenizer=tok)
+    words = ["tea", "mars", "city", "river", "light", "dog"]
+    corpus = [" ".join(rng.choice(words, size=int(n)))
+              for n in rng.integers(2, 28, size=12)]
+    r.build_index(corpus, batch_size=4, index_type="bag_of_token")
+
+    queries = ["green tea drink", "river water", "dog city"]
+    q_emb = r.process_query(queries)
+    # heavy overlap: every query shares candidates 0..3
+    ids = np.array([[0, 1, 2, 3, 4], [0, 1, 2, 3, 5],
+                    [0, 1, 2, 3, 6]])
+    first = SearchResults(ids, np.zeros_like(ids, dtype=np.float32))
+    out = r._beta_rerank(q_emb, first, r.index, k=5, batch_size=4)
+
+    # brute force: embed each candidate alone, score, sort
+    for qi in range(3):
+        embs = np.stack([r.encoder_p.embed([corpus[j]])[0]
+                         for j in ids[qi]])
+        scores = embs @ np.asarray(q_emb[qi], dtype=np.float32)
+        expect = ids[qi][np.argsort(-scores, kind="stable")]
+        np.testing.assert_array_equal(np.asarray(out.ids)[qi], expect)
+        np.testing.assert_allclose(
+            np.asarray(out.scores)[qi],
+            np.sort(scores)[::-1], rtol=1e-4, atol=1e-5)

@@ -120,6 +120,17 @@ class Retriever(BiEncoder):
                                       return_inverse=True)
         ret_texts = [_passage_text(index.get_sample(int(i)))
                      for i in uniq_ids]
+        # length-sort the unique candidates so each embed batch lands in
+        # the smallest length bucket (word count ~ token count); the
+        # inverse map composes the sort away. With the native masked
+        # pooling embeddings are batch-order-invariant, so results are
+        # unchanged; under compat_pad_pooling batch composition already
+        # shifted with dedup (the reference defines no canonical rerank
+        # batching), and scores move only within pad-pooling noise.
+        sort_perm = np.argsort([len(t.split()) for t in ret_texts],
+                               kind="stable")
+        ret_texts = [ret_texts[int(i)] for i in sort_perm]
+        inverse = np.argsort(sort_perm, kind="stable")[inverse]
         q32 = np.asarray(q_emb, dtype=np.float32)
         if hasattr(self.encoder_p, "embed_sparse"):
             # activate_lexical=True matches the reference's default
