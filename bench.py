@@ -307,6 +307,10 @@ def main():
     # weighted rerank (ops/sketch.py binary_proxy_search). Reference hot
     # path: sparse-CSR matmul on one GPU (src/ir/retriever/index.py:88-94).
     alpha_qps, alpha_recall = 0.0, None
+    # measured tradeoff at 2M rows (C=256/512/1024/2048 ->
+    # 920/884/652/413 QPS at recall .716/.871/.970/.996); 1024 is the
+    # knee
+    ALPHA_C = 1024
     if args.scale_rows and jax.default_backend() == "tpu":
         from vsearch_tpu.ops.bitpack import pack_ell_device
         from vsearch_tpu.ops.ell import ELLMatrix, ell_matvec_chunked
@@ -336,12 +340,8 @@ def main():
                          num_cols=v, sentinel_padded=False)
         proxy = pack_ell_device(ell2)
         jax.block_until_ready(proxy.words)
-        # measured tradeoff at 2M rows (scripts/probe: C=256/512/1024/
-        # 2048 -> 920/884/652/413 QPS at recall .716/.871/.970/.996);
-        # C=1024 is the knee
-        C = 1024
         afn = jax.jit(lambda qd, e, bmx: binary_proxy_search(
-            qd, e, bmx, k=args.topk, num_candidates=C))
+            qd, e, bmx, k=args.topk, num_candidates=ALPHA_C))
         r = afn(chunks[0], ell2, proxy)
         float(r[1][0, 0])
         t0 = time.perf_counter()
@@ -422,7 +422,8 @@ def main():
         "alpha_scale_qps": round(alpha_qps, 1),
         "alpha_scale_recall": (None if alpha_recall is None
                                else round(alpha_recall, 4)),
-        "alpha_rerank_candidates": 1024,
+        "alpha_rerank_candidates": (ALPHA_C if alpha_recall is not None
+                                    else None),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))

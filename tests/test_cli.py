@@ -156,6 +156,26 @@ def test_serve_warmup_without_data_file(workdir):
     assert r.index is not None
 
 
+def test_serve_selection_bucketed_accepted_for_bot(workdir):
+    """Regression: BoTIndex subclasses DenseIndex, so an isinstance
+    check against DenseIndex rejected --selection bucketed for exactly
+    the index type it is documented for."""
+    from vsearch_tpu.cli.build_index.binary_token_index import main as build
+    from vsearch_tpu.cli.serve import make_parser, prepare_retriever
+
+    idx = str(workdir / "bot_sel.npz")
+    build(["--text_file", str(workdir / "corpus.jsonl"),
+           "--save_file", idx, "--num_shift", "5",
+           "--tokenizer", str(workdir / "ckpt"), "--num_workers", "1"])
+    ap = make_parser()
+    args = ap.parse_args(["--checkpoint", str(workdir / "ckpt"),
+                          "--index_file", idx,
+                          "--index_type", "bag_of_token",
+                          "--selection", "bucketed"])
+    r = prepare_retriever(args, ap)
+    assert r.index.selection == "bucketed"
+
+
 def test_serve_selection_validation(workdir):
     """--selection bucketed on a dense index and --selection without
     --index_file must fail fast instead of being silently dropped."""

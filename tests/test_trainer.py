@@ -193,3 +193,52 @@ def test_training_improves_retrieval(train_file, tmp_path):
     # (seeded baseline before training: 0.6 from raw lexical overlap)
     acc = top1_accuracy()
     assert acc == 1.0, f"trained top-1 accuracy {acc} < 1.0"
+
+
+def test_checkpoint_atomicity_crash_windows(train_file, tmp_path):
+    """A crash at any point of a train-state save must leave a
+    resumable checkpoint: resolve_checkpoint_dir prefers the committed
+    dir, then a complete .tmp, then the displaced .old."""
+    import os
+    import shutil
+
+    from vsearch_tpu.train.checkpoint import (load_checkpoint,
+                                              resolve_checkpoint_dir,
+                                              save_checkpoint)
+
+    path, _ = train_file
+    cfg = TrainConfig(batch_size=8, num_train_epochs=1,
+                      learning_rate=5e-4, num_epoch_to_save=1,
+                      output_dir=str(tmp_path), seed=12)
+    t = RetrieverTrainer(make_retriever(), cfg,
+                         [BiEncoderDataset(path)])
+    t.run_train()
+    ckpt = str(tmp_path / "train_state")
+    assert resolve_checkpoint_dir(ckpt) == os.path.abspath(ckpt)
+
+    # crash AFTER the old dir was displaced but BEFORE the tmp rename:
+    # only .tmp (complete) and .old exist
+    save_checkpoint(ckpt, t.state, epoch=1, offset=2)
+    os.rename(ckpt, ckpt + ".old")
+    shutil.copytree(ckpt + ".old", ckpt + ".tmp")
+    got = resolve_checkpoint_dir(ckpt)
+    assert got == ckpt + ".tmp"
+    t2 = RetrieverTrainer(make_retriever(), cfg,
+                          [BiEncoderDataset(path)])
+    t2._init_state(3)
+    state, meta = load_checkpoint(got, t2.state)
+    assert meta["epoch"] == 1 and meta["offset"] == 2
+
+    # crash DURING the tmp write (incomplete tmp: meta missing): the
+    # displaced .old must win
+    shutil.rmtree(ckpt + ".tmp")
+    os.makedirs(ckpt + ".tmp/state")
+    assert resolve_checkpoint_dir(ckpt) == ckpt + ".old"
+
+    # a fresh save on top of the debris commits cleanly again
+    shutil.rmtree(ckpt + ".tmp")
+    os.rename(ckpt + ".old", ckpt)
+    save_checkpoint(ckpt, t.state, epoch=1, offset=3)
+    assert resolve_checkpoint_dir(ckpt) == os.path.abspath(ckpt)
+    _, meta = load_checkpoint(ckpt, t2.state)
+    assert meta["offset"] == 3

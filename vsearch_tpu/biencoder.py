@@ -84,22 +84,32 @@ class BiEncoder:
 
     # -- training forward (reference biencoder.py:61-73) -------------------
     def forward(self, q_ids, q_segments, q_attn_mask,
-                p_ids, p_segments, p_attn_mask):
+                p_ids, p_segments, p_attn_mask, *,
+                deterministic: bool = True, rngs=None):
         """Token tensors -> (q_emb, p_emb) raw embeddings, the
         reference's training forward. No topk/bow masking here — the
         loss applies its own sparsification (as in the reference, where
-        compute_vdr_loss consumes the raw embeddings). For actual
-        training prefer ``train.step.make_train_step``, which fuses
-        this with the loss into one SPMD program; this surface exists
-        for API parity and ad-hoc use."""
+        compute_vdr_loss consumes the raw embeddings). The reference
+        runs this under train() with dropout active; pass
+        ``deterministic=False`` with ``rngs={"dropout": key}`` for that
+        behavior (the default is inference mode). For actual training
+        prefer ``train.step.make_train_step``, which fuses this with
+        the loss into one SPMD program; this surface exists for API
+        parity and ad-hoc use."""
+        import jax
         import jax.numpy as jnp
 
+        if not deterministic and rngs is None:
+            rngs = {"dropout": jax.random.PRNGKey(0)}
+        kw = dict(deterministic=deterministic)
         q_emb = self.encoder_q.module.apply(
             self.encoder_q.variables, jnp.asarray(q_ids),
-            jnp.asarray(q_segments), jnp.asarray(q_attn_mask))
+            jnp.asarray(q_segments), jnp.asarray(q_attn_mask),
+            rngs=rngs, **kw)
         p_emb = self.encoder_p.module.apply(
             self.encoder_p.variables, jnp.asarray(p_ids),
-            jnp.asarray(p_segments), jnp.asarray(p_attn_mask))
+            jnp.asarray(p_segments), jnp.asarray(p_attn_mask),
+            rngs=rngs, **kw)
         return q_emb, p_emb
 
     __call__ = forward

@@ -49,12 +49,16 @@ def prepare_retriever(args, ap):
                              data_file=args.data_file,
                              index_type=args.index_type)
         if args.selection:
-            from ..index import DenseIndex
+            from ..index import SparseIndex
 
-            if isinstance(retriever.index, DenseIndex):
-                # DenseIndex only understands 'approx' (everything else
-                # runs exact); reject policies that would silently
-                # change meaning
+            # NB: BoTIndex < SparseIndex < DenseIndex, so test for the
+            # sparse branch — a bare isinstance(DenseIndex) would match
+            # every index type and reject --selection bucketed for
+            # exactly the BoT indexes it is documented for
+            if not isinstance(retriever.index, SparseIndex):
+                # plain dense: only 'approx' changes behavior
+                # (everything else runs exact); reject policies that
+                # would silently change meaning
                 if args.selection in ("bucketed", "bucketed_approx"):
                     ap.error(
                         f"--selection {args.selection} applies to "

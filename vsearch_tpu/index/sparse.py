@@ -38,7 +38,13 @@ class SparseIndex(DenseIndex):
     sketch_dim = 1024
     sketch_seed = 42
     rerank_exact = True  # exact re-score of sketch candidates
-    rerank_budget = 4_000_000  # max B*C*nnz_pad scalar gathers per batch
+    # max C*nnz_pad scalar gathers PER QUERY for the exact rerank stage.
+    # Per-query (not per-call) so a query's results are independent of
+    # how many queries share the device call — the serve coalescer
+    # merges concurrent requests into one batch, and recall must not
+    # depend on concurrent load. 131072/query = C=1024 at nnz_pad 128,
+    # the measured recall knee (docs/ARCHITECTURE.md), ~1.3 ms/query.
+    rerank_budget = 131_072
 
     def __init__(self, index_file: Optional[str] = None,
                  data_file: Optional[str] = None, fp16: bool = True,
@@ -174,12 +180,7 @@ class SparseIndex(DenseIndex):
         return 0 if self.ell is None else self.ell.shape[0]
 
     # -- distribution ------------------------------------------------------
-    def move_to_device(self, device=None):
-        """Reference-compat shim (src/ir/retriever/index.py:54-57): JAX
-        arrays are device-resident on creation, so this is a no-op; use
-        ``to_mesh`` to shard across chips."""
-        return self
-
+    # (move_to_device shim inherited from DenseIndex)
     def to_mesh(self, mesh, axis_name: str = "dp"):
         """Row-shard the ELL across the mesh; searches switch to the
         per-shard exact scorer + ICI top-k merge."""
@@ -245,11 +246,12 @@ class SparseIndex(DenseIndex):
             ids, scores = self._search_fn[1](q, self.ell)
             return SearchResults(np.asarray(ids), np.asarray(scores))
         if num_candidates is None:
-            # clamp candidate set by the scalar-gather budget
-            b = int(q.shape[0])
+            # clamp candidate set by the PER-QUERY scalar-gather budget
+            # (batch-size-independent: same query, same results, any
+            # concurrent load)
             cap = max(k, self.rerank_budget
-                      // max(b * self.ell.nnz_pad, 1))
-            num_candidates = min(n, max(2 * k, 64), cap)
+                      // max(self.ell.nnz_pad, 1))
+            num_candidates = min(n, max(2 * k, 64, cap))
         if self._use_bitproxy():
             from ..ops.sketch import binary_proxy_search
 

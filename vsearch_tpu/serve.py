@@ -55,9 +55,14 @@ class SearchCoalescer:
         self._thread.start()
 
     def submit(self, queries, k: int, rerank: bool):
+        queries = list(queries)
+        if not queries:
+            # validate before enqueueing: a bad request must fail alone,
+            # never inside a merged device call
+            raise ValueError("queries must be a non-empty list")
         done = threading.Event()
         slot: Dict[str, Any] = {}
-        self._q.put((list(queries), k, rerank, done, slot))
+        self._q.put((queries, k, rerank, done, slot))
         done.wait()
         if "error" in slot:
             raise slot["error"]
@@ -75,6 +80,31 @@ class SearchCoalescer:
             total += len(item[0])
         return batch
 
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Round the merged batch up to a power of two: arbitrary merged
+        sizes would retrace/compile the search program per distinct B —
+        multi-second stalls exactly when the server is busy. Padding
+        repeats the last query (< 2x compute) and results are sliced."""
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
+    def _run_group(self, items, k: int, rerank: bool):
+        queries = [q for it in items for q in it[0]]
+        n = len(queries)
+        pad = self._bucket(n) - n
+        padded = queries + [queries[-1]] * pad
+        ids, scores = self._search_fn(padded, k, rerank)
+        self.device_calls += 1
+        row = 0
+        for it in items:
+            m = len(it[0])
+            it[4]["ids"] = ids[row: row + m]
+            it[4]["scores"] = scores[row: row + m]
+            row += m
+
     def _loop(self):
         while True:
             batch = self._drain(self._q.get())
@@ -82,19 +112,22 @@ class SearchCoalescer:
             for item in batch:
                 groups[(item[1], item[2])].append(item)
             for (k, rerank), items in groups.items():
-                queries = [q for it in items for q in it[0]]
                 try:
-                    ids, scores = self._search_fn(queries, k, rerank)
-                    self.device_calls += 1
-                    row = 0
+                    try:
+                        self._run_group(items, k, rerank)
+                    except Exception:
+                        if len(items) == 1:
+                            raise
+                        # isolate a poisoned request: retry each alone
+                        # so one bad payload can't fail its co-riders
+                        for it in items:
+                            try:
+                                self._run_group([it], k, rerank)
+                            except Exception as exc:
+                                it[4]["error"] = exc
+                except Exception as exc:
                     for it in items:
-                        n = len(it[0])
-                        it[4]["ids"] = ids[row: row + n]
-                        it[4]["scores"] = scores[row: row + n]
-                        row += n
-                except Exception as exc:  # per-request error surfaces
-                    for it in items:
-                        it[4]["error"] = exc
+                        it[4].setdefault("error", exc)
                 finally:
                     for it in items:
                         it[3].set()

@@ -23,25 +23,58 @@ _META_NAME = "train_meta.json"
 
 def save_checkpoint(directory: str, state, epoch: int = 0,
                     offset: int = 0, extra: Optional[Dict] = None):
-    """Write TrainState + iteration metadata under ``directory``."""
+    """Write TrainState + iteration metadata under ``directory``,
+    ATOMICALLY: repeated saves (save_steps) target one fixed dir, and a
+    crash mid-save — the very event checkpoints guard against — must
+    never destroy the previous good checkpoint or leave state/meta
+    desynced. The full payload (orbax state + meta) lands in a ``.tmp``
+    sibling first and is committed by directory renames; meta is
+    written before the commit, so any directory that contains both
+    ``state`` and the meta file is complete and consistent."""
+    import shutil
+
     import orbax.checkpoint as ocp
 
     directory = os.path.abspath(directory)
-    os.makedirs(directory, exist_ok=True)
+    tmp = directory + ".tmp"
+    primary = jax.process_index() == 0
+    if primary:
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
     ckptr = ocp.StandardCheckpointer()
-    target = os.path.join(directory, "state")
     payload = {"params": state.params, "opt_state": state.opt_state,
                "step": state.step}
-    ckptr.save(target, payload, force=True)
+    ckptr.save(os.path.join(tmp, "state"), payload, force=True)
     ckptr.wait_until_finished()
-    meta = {"epoch": epoch, "offset": offset,
-            "step": int(jax.device_get(state.step))}
-    if extra:
-        meta.update(extra)
-    with open(os.path.join(directory, _META_NAME), "w") as f:
-        json.dump(meta, f)
+    if primary:
+        meta = {"epoch": epoch, "offset": offset,
+                "step": int(jax.device_get(state.step))}
+        if extra:
+            meta.update(extra)
+        with open(os.path.join(tmp, _META_NAME), "w") as f:
+            json.dump(meta, f)
+        # commit: previous checkpoint survives until the new one is in
+        # place; resolve_checkpoint_dir knows the intermediate states
+        old = directory + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(directory):
+            os.rename(directory, old)
+        os.rename(tmp, directory)
+        shutil.rmtree(old, ignore_errors=True)
     logger.info("checkpoint saved to %s (epoch=%d offset=%d)", directory,
                 epoch, offset)
+
+
+def resolve_checkpoint_dir(directory: str) -> Optional[str]:
+    """Newest COMPLETE checkpoint for ``directory``, tolerating a crash
+    at any point of the atomic save: prefer the committed dir, then a
+    complete-but-uncommitted ``.tmp``, then the displaced ``.old``."""
+    directory = os.path.abspath(directory)
+    for cand in (directory, directory + ".tmp", directory + ".old"):
+        if (os.path.isdir(os.path.join(cand, "state"))
+                and os.path.isfile(os.path.join(cand, _META_NAME))):
+            return cand
+    return None
 
 
 def load_checkpoint(directory: str, state) -> Tuple[Any, Dict]:

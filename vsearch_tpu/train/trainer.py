@@ -22,7 +22,8 @@ import numpy as np
 from ..data.batching import create_biencoder_batch
 from ..data.iterators import MultiSetDataIterator, get_data_iterator
 from ..retriever import Retriever
-from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .checkpoint import (load_checkpoint, resolve_checkpoint_dir,
+                         save_checkpoint)
 from .info_card import InfoCard
 from .loss import VDRLossConfig
 from .optim import get_optimizer, get_schedule_linear
@@ -178,10 +179,9 @@ class RetrieverTrainer:
         without optimizer/step state). Returns True when a checkpoint
         was loaded."""
         if directory is None:
-            cand = os.path.join(self.cfg.output_dir, "train_state")
-            if os.path.isdir(os.path.join(cand, "state")):
-                directory = cand
-            else:
+            directory = resolve_checkpoint_dir(
+                os.path.join(self.cfg.output_dir, "train_state"))
+            if directory is None:
                 logger.info("no train_state checkpoint under %s — "
                             "starting fresh", self.cfg.output_dir)
                 return False
