@@ -233,3 +233,24 @@ def test_eval_beir_cli(workdir):
     assert set(out) == {"ndcg@1", "ndcg@3", "recall@1", "recall@3",
                         "mrr@1", "mrr@3"}
     assert all(0.0 <= v <= 1.0 for v in out.values())
+
+
+def test_serve_rerank_budget_knob(workdir):
+    from vsearch_tpu.cli.build_index.sparse_index import main as build
+    from vsearch_tpu.cli.serve import make_parser, prepare_retriever
+
+    idx = str(workdir / "sparse_budget.npz")
+    build(["--checkpoint", str(workdir / "ckpt"),
+           "--text_file", str(workdir / "corpus.jsonl"),
+           "--save_file", idx, "--batch_size", "4"])
+    ap = make_parser()
+    args = ap.parse_args(["--checkpoint", str(workdir / "ckpt"),
+                          "--index_file", idx,
+                          "--index_type", "sparse",
+                          "--rerank_budget", "65536"])
+    r = prepare_retriever(args, ap)
+    assert r.index.rerank_budget == 65536
+    args = ap.parse_args(["--checkpoint", str(workdir / "ckpt"),
+                          "--rerank_budget", "1"])
+    with pytest.raises(SystemExit):
+        prepare_retriever(args, ap)

@@ -36,6 +36,15 @@ def make_parser() -> argparse.ArgumentParser:
                     help="run one search (+rerank on BoT indexes) "
                          "before accepting traffic, so the first "
                          "request doesn't pay the jit compile")
+    ap.add_argument("--rerank_budget", type=int, default=None,
+                    help="per-QUERY scalar-gather budget for the "
+                         "sparse exact-rerank stage (candidates = "
+                         "budget // nnz_pad); default 131072 = C=1024 "
+                         "at nnz 128, the measured recall knee")
+    ap.add_argument("--no_coalesce", action="store_true",
+                    help="serialize requests with a lock instead of "
+                         "merging concurrent /search calls into one "
+                         "device batch")
     return ap
 
 
@@ -72,6 +81,10 @@ def prepare_retriever(args, ap):
                         retriever.index.selection)
     elif args.selection:
         ap.error("--selection requires --index_file (no index loaded)")
+    if args.rerank_budget is not None:
+        if retriever.index is None:
+            ap.error("--rerank_budget requires --index_file")
+        retriever.index.rerank_budget = args.rerank_budget
     if args.mesh_dp:
         from ..parallel.mesh import make_mesh
 
@@ -108,7 +121,8 @@ def main(argv=None):
 
     retriever = prepare_retriever(args, ap)
     server = serve(retriever, host=args.host, port=args.port,
-                   default_k=args.default_k)
+                   default_k=args.default_k,
+                   coalesce=not args.no_coalesce)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
