@@ -176,3 +176,47 @@ def test_rag_dataset(tmp_path):
     ds2 = RAGDataset(str(p))
     ds2.load_data(require_positive=False)
     assert len(ds2) == 2
+
+
+def test_multiset_mid_epoch_resume_property():
+    """Property: for ANY (datasets, shards, batch size, rates, offset,
+    epoch), a MultiSet iterator armed with a mid-epoch offset yields
+    exactly the straight-through run's remaining batches — and the next
+    epoch starts at 0 (the offset is one-shot). This is the contract
+    run_train(resume=True) rides on."""
+    rng = __import__("numpy").random.default_rng(123)
+    for trial in range(30):
+        n_sets = int(rng.integers(1, 4))
+        sizes = [int(rng.integers(4, 40)) for _ in range(n_sets)]
+        bs = int(rng.integers(1, 5))
+        shards = int(rng.integers(1, 3))
+        shard_id = int(rng.integers(0, shards))
+        seed = int(rng.integers(0, 1000))
+        epoch = int(rng.integers(0, 4))
+        rates = ([float(rng.choice([0.5, 1.0]))
+                  for _ in range(n_sets)]
+                 if rng.random() < 0.5 else None)
+
+        def build():
+            its = [ShardedDataIterator(
+                ListDataset(range(k * 1000, k * 1000 + sz)),
+                shard_id=shard_id, num_shards=shards, batch_size=bs,
+                shuffle_seed=seed) for k, sz in enumerate(sizes)]
+            return MultiSetDataIterator(its, shuffle_seed=seed,
+                                        sampling_rates=rates)
+
+        ref = build()
+        full = list(ref.iterate_ds_data(epoch=epoch))
+        if not full:
+            continue
+        offset = int(rng.integers(0, len(full) + 1))
+        res = build()
+        res.set_start_iteration(offset)
+        resumed = list(res.iterate_ds_data(epoch=epoch))
+        assert resumed == full[offset:], (
+            trial, sizes, bs, shards, shard_id, seed, epoch, rates,
+            offset)
+        # one-shot: the next epoch replays in full
+        nxt = list(res.iterate_ds_data(epoch=epoch + 1))
+        ref2 = build()
+        assert nxt == list(ref2.iterate_ds_data(epoch=epoch + 1))
