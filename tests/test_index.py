@@ -195,3 +195,53 @@ def test_move_to_device_compat_shim(rng):
     sp_idx.set_vectors(sp.random(10, 20, density=0.2, format="csr",
                                  dtype=np.float32))
     assert sp_idx.move_to_device() is sp_idx
+
+
+def test_load_index_infers_bot_from_valueless_ell(tmp_path, rng):
+    """Retriever.load_index must classify a native .ell.npz archive by
+    content: no stored values = binary bag-of-token, values = sparse.
+    Previously every .npz mapped to SPARSE, so a BoT index built by the
+    binary_token_index CLI lost its BoT selection/rerank surface."""
+    from vsearch_tpu.index import IndexType
+    from vsearch_tpu.index.bot_build import build_bot_ell, save_bot_host
+    from vsearch_tpu.retriever import Retriever, RetrieverConfig
+
+    class TokStub:
+        vocab_size = 50
+
+        def encode_batch(self, texts, max_length):
+            return [[7, 9, 11] for _ in texts]
+
+    _, cols, nnz = build_bot_ell(TokStub(), ["a", "b"], shift=5,
+                                 return_host=True, device=False)
+    bot_path = str(tmp_path / "bot.ell.npz")
+    save_bot_host(bot_path, cols, nnz, num_cols=45)
+
+    r = Retriever.__new__(Retriever)  # skip encoder construction
+    r.index = None
+    r.load_index(bot_path)
+    assert r.index_type == IndexType.BAG_OF_TOKEN
+
+    mat = sp.random(6, 45, density=0.2, format="csr", dtype=np.float32,
+                    random_state=np.random.RandomState(0))
+    sp_idx = SparseIndex()
+    sp_idx.set_vectors(mat)
+    sp_path = str(tmp_path / "real.ell.npz")
+    sp_idx.save(sp_path)
+    r.load_index(sp_path)
+    assert r.index_type == IndexType.SPARSE
+
+
+def test_build_bot_ell_rejects_shift_beyond_vocab():
+    """A shift >= vocab_size would produce a negative column space and
+    die deep inside scipy; it must fail with a clear error instead."""
+    from vsearch_tpu.index.bot_build import build_bot_ell
+
+    class TokStub:
+        vocab_size = 149
+
+        def encode_batch(self, texts, max_length):
+            return [[1] for _ in texts]
+
+    with pytest.raises(ValueError, match="shift.*vocab_size"):
+        build_bot_ell(TokStub(), ["x"], shift=999)

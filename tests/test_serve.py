@@ -107,7 +107,7 @@ def test_coalescer_merges_concurrent_requests():
 
     calls = []
 
-    def slow_search(queries, k, rerank):
+    def slow_search(queries, k, rerank, n_real=None):
         calls.append(len(queries))
         time.sleep(0.05)  # device busy: followers pile up
         ids = np.asarray([[hash(q) % 97] * k for q in queries])
@@ -147,7 +147,7 @@ def test_coalescer_isolates_poisoned_requests():
 
     from vsearch_tpu.serve import SearchCoalescer
 
-    def search(queries, k, rerank):
+    def search(queries, k, rerank, n_real=None):
         if any(q == "BAD" for q in queries):
             raise RuntimeError("poison")
         time.sleep(0.05)
@@ -189,7 +189,7 @@ def test_search_empty_queries_rejected(server):
 def test_coalescer_propagates_errors():
     from vsearch_tpu.serve import SearchCoalescer
 
-    def broken(queries, k, rerank):
+    def broken(queries, k, rerank, n_real=None):
         raise RuntimeError("device on fire")
 
     co = SearchCoalescer(broken)

@@ -100,16 +100,28 @@ class BiEncoder:
         import jax.numpy as jnp
 
         if not deterministic and rngs is None:
-            rngs = {"dropout": jax.random.PRNGKey(0)}
+            # a silent fixed fallback key would reuse the SAME dropout
+            # mask every call (and across both encoders) — refuse
+            raise ValueError(
+                "deterministic=False requires rngs={'dropout': key}; "
+                "pass a fresh key per step (the reference draws new "
+                "dropout masks from the global RNG each forward)")
         kw = dict(deterministic=deterministic)
+        # fold a distinct lane per encoder: the reference's encoders
+        # draw independent masks from one RNG stream, so sharing the
+        # caller's key verbatim would correlate q/p dropout
+        rngs_q = rngs_p = rngs
+        if rngs is not None:
+            rngs_q = {n: jax.random.fold_in(r, 0) for n, r in rngs.items()}
+            rngs_p = {n: jax.random.fold_in(r, 1) for n, r in rngs.items()}
         q_emb = self.encoder_q.module.apply(
             self.encoder_q.variables, jnp.asarray(q_ids),
             jnp.asarray(q_segments), jnp.asarray(q_attn_mask),
-            rngs=rngs, **kw)
+            rngs=rngs_q, **kw)
         p_emb = self.encoder_p.module.apply(
             self.encoder_p.variables, jnp.asarray(p_ids),
             jnp.asarray(p_segments), jnp.asarray(p_attn_mask),
-            rngs=rngs, **kw)
+            rngs=rngs_p, **kw)
         return q_emb, p_emb
 
     __call__ = forward

@@ -58,32 +58,47 @@ def prepare_retriever(args, ap):
                              data_file=args.data_file,
                              index_type=args.index_type)
         if args.selection:
-            from ..index import SparseIndex
+            from ..index import BoTIndex, SparseIndex
 
-            # NB: BoTIndex < SparseIndex < DenseIndex, so test for the
-            # sparse branch — a bare isinstance(DenseIndex) would match
-            # every index type and reject --selection bucketed for
-            # exactly the BoT indexes it is documented for
-            if not isinstance(retriever.index, SparseIndex):
+            # NB: BoTIndex < SparseIndex < DenseIndex, so dispatch on
+            # the most-derived type first — a bare isinstance check
+            # against a base class would hijack every index type
+            if isinstance(retriever.index, BoTIndex):
+                retriever.index.selection = args.selection
+            elif isinstance(retriever.index, SparseIndex):
+                # real-valued sparse search never reads .selection
+                # (its paths are driven by search_mode/rerank_budget);
+                # accepting the flag would be a silent no-op
+                ap.error(
+                    "--selection has no effect on real-valued sparse "
+                    "indexes (their search is driven by "
+                    "--rerank_budget / search_mode); it applies to "
+                    "bag-of-token and dense indexes")
+            else:
                 # plain dense: only 'approx' changes behavior
                 # (everything else runs exact); reject policies that
                 # would silently change meaning
                 if args.selection in ("bucketed", "bucketed_approx"):
                     ap.error(
                         f"--selection {args.selection} applies to "
-                        "bag-of-token/sparse indexes only; dense "
-                        "indexes support auto/exact/approx")
+                        "bag-of-token indexes only; dense indexes "
+                        "support auto/exact/approx")
                 retriever.index.selection = (
                     "approx" if args.selection == "approx" else "exact")
-            else:
-                retriever.index.selection = args.selection
             logger.info("top-k selection policy: %s",
                         retriever.index.selection)
     elif args.selection:
         ap.error("--selection requires --index_file (no index loaded)")
     if args.rerank_budget is not None:
+        from ..index import SparseIndex
+
         if retriever.index is None:
             ap.error("--rerank_budget requires --index_file")
+        if not isinstance(retriever.index, SparseIndex):
+            # DenseIndex has no rerank stage: the attribute would be
+            # set but never read — reject instead of silently ignoring
+            ap.error("--rerank_budget applies to sparse/bag-of-token "
+                     "indexes only (dense search has no rerank stage)")
         retriever.index.rerank_budget = args.rerank_budget
     if args.mesh_dp:
         from ..parallel.mesh import make_mesh

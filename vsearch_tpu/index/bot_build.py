@@ -117,6 +117,13 @@ def build_bot_ell(tokenizer, texts: Sequence[str], max_len: int = 128,
     from ..ops.ell import ELLMatrix
 
     vocab_size = vocab_size or tokenizer.vocab_size
+    if shift >= vocab_size:
+        # e.g. a tiny test vocab with the default BERT shift=999 would
+        # yield a negative column space and fail deep inside scipy
+        raise ValueError(
+            f"shift={shift} >= vocab_size={vocab_size}: the token-id "
+            "shift must leave a non-empty column space (pass a smaller "
+            "--num_shift for non-BERT vocabularies)")
     cap = max_token or max_len
     nnz_pad = max(_round_up(cap, 128), 128)
     n = len(texts)

@@ -246,12 +246,13 @@ class SparseIndex(DenseIndex):
             ids, scores = self._search_fn[1](q, self.ell)
             return SearchResults(np.asarray(ids), np.asarray(scores))
         if num_candidates is None:
-            # clamp candidate set by the PER-QUERY scalar-gather budget
+            # candidate count = the PER-QUERY scalar-gather budget
             # (batch-size-independent: same query, same results, any
-            # concurrent load)
-            cap = max(k, self.rerank_budget
-                      // max(self.ell.nnz_pad, 1))
-            num_candidates = min(n, max(2 * k, 64, cap))
+            # concurrent load). The budget is a true CAP — an operator
+            # lowering rerank_budget must actually bound the gather
+            # work — floored only at k (k results need k candidates).
+            cap = self.rerank_budget // max(self.ell.nnz_pad, 1)
+            num_candidates = min(n, max(k, cap))
         if self._use_bitproxy():
             from ..ops.sketch import binary_proxy_search
 

@@ -273,6 +273,15 @@ class Retriever(BiEncoder):
                 index_type = IndexType.DENSE
             elif index_file.endswith(".bot.npz"):
                 index_type = IndexType.BAG_OF_TOKEN
+            elif index_file.endswith(".ell.npz"):
+                # native ELL archives self-describe: no stored values
+                # means a binary bag-of-token index (reference builds
+                # BoT as all-ones CSR; here binary is structural)
+                from .index.base import _resolve_files
+
+                with np.load(_resolve_files(index_file)[0]) as z:
+                    index_type = (IndexType.SPARSE if "vals" in z.files
+                                  else IndexType.BAG_OF_TOKEN)
             elif index_file.endswith(".npz"):
                 index_type = IndexType.SPARSE
             else:

@@ -55,6 +55,9 @@ class SearchCoalescer:
         self._thread.start()
 
     def submit(self, queries, k: int, rerank: bool):
+        if isinstance(queries, str):
+            # list('text') would explode a bare string into characters
+            queries = [queries]
         queries = list(queries)
         if not queries:
             # validate before enqueueing: a bad request must fail alone,
@@ -96,7 +99,9 @@ class SearchCoalescer:
         n = len(queries)
         pad = self._bucket(n) - n
         padded = queries + [queries[-1]] * pad
-        ids, scores = self._search_fn(padded, k, rerank)
+        # n_real tells the backend how many rows are real queries (the
+        # rest is anti-retrace padding) so /stats doesn't count padding
+        ids, scores = self._search_fn(padded, k, rerank, n_real=n)
         self.device_calls += 1
         row = 0
         for it in items:
@@ -146,8 +151,11 @@ class RetrieverService:
         self._coalescer = (SearchCoalescer(self._device_search)
                            if coalesce else None)
 
-    def _device_search(self, queries, k: int, rerank: bool):
-        with self.search_timer.step(items=len(queries)):
+    def _device_search(self, queries, k: int, rerank: bool,
+                       n_real: Optional[int] = None):
+        # n_real = count of real queries in a coalesced batch (the rest
+        # is power-of-two padding); time by real work or /stats inflates
+        with self.search_timer.step(items=n_real or len(queries)):
             res = self.retriever.retrieve(queries, k=k, rerank=rerank)
         return np.asarray(res.ids), np.asarray(res.scores)
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 import json
 import logging
 import os
-import re
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -96,20 +95,3 @@ def load_checkpoint(directory: str, state) -> Tuple[Any, Dict]:
         with open(meta_path) as f:
             meta = json.load(f)
     return new_state, meta
-
-
-def latest_checkpoint(output_dir: str, prefix: str = "checkpoint"
-                      ) -> Optional[str]:
-    """Find the newest checkpoint dir ``<prefix>_<n>`` (counterpart of
-    reference model_utils.py:138-149)."""
-    if not os.path.isdir(output_dir):
-        return None
-    best, best_n = None, -1
-    pat = re.compile(re.escape(prefix) + r"_(\d+)$")
-    for name in os.listdir(output_dir):
-        m = pat.match(name)
-        if m and int(m.group(1)) > best_n:
-            full = os.path.join(output_dir, name)
-            if os.path.isdir(full):
-                best, best_n = full, int(m.group(1))
-    return best
