@@ -135,11 +135,28 @@ def main():
         active = rng.choice(v, size=768, replace=False)
         q[i, active] = rng.random(768).astype(np.float32)
 
+    def _force(x):
+        # block_until_ready does NOT flush the tunnel's async queue on
+        # this backend — only a host readback forces execution
+        return np.asarray(jnp.sum(x[:8].astype(jnp.int32)))
+
+    # drain the async queue first: everything the (untimed) build phase
+    # deferred would otherwise be charged to the pack timer below
+    _force(index.ell.cols)
     t0 = time.perf_counter()
     if index._use_bitpack():
         index.build_bitpack()
-        jax.block_until_ready(index.bitmat.words)
+        _force(index.bitmat.words)
     pack_s = time.perf_counter() - t0
+    # steady-state pack: the Pallas pack kernel's one-shot time is
+    # Mosaic-compile-bound at this size (~5 s compile vs ~30 ms run at
+    # 200k rows); repeated builds at a shape pay only the run
+    pack_steady_s = pack_s
+    if index._use_bitpack():
+        t0 = time.perf_counter()
+        index.build_bitpack()
+        _force(index.bitmat.words)
+        pack_steady_s = time.perf_counter() - t0
 
     # warmup / compile, then measure pipelined (one sync at the end —
     # per-call syncs would measure tunnel RTT, not device throughput;
@@ -409,6 +426,7 @@ def main():
         "selection": (index._resolved_selection()
                       if index._use_bitpack() else "exact"),
         "pack_build_s": round(pack_s, 2),
+        "pack_steady_s": round(pack_steady_s, 3),
         "search_batch": args.query_batch,
         "search_k": args.topk,
         "index_rows": int(ell.shape[0]),

@@ -45,6 +45,30 @@ def test_pack_ell_matches_pack_dense(binary_case):
                                   np.asarray(bm2.words))
 
 
+def test_pack_device_matches_host(rng):
+    """The Pallas pack kernel must agree bit-for-bit with the C++ host
+    packer, including short rows (nnz validity mask), out-of-range
+    sentinel columns, and a multi-k-tile vocab (V > 4096)."""
+    import jax.numpy as jnp
+
+    from vsearch_tpu.ops.bitpack import pack_ell_device, pack_ell_host
+
+    for n, v, nnzp in [(7, 300, 128), (513, 5000, 128), (3, 4096, 256)]:
+        nnz = rng.integers(0, nnzp + 1, size=n).astype(np.int32)
+        cols = np.zeros((n, nnzp), np.int32)
+        for i in range(n):
+            k = int(min(nnz[i], v))
+            nnz[i] = k
+            cols[i, :k] = rng.choice(v, size=k, replace=False)
+            cols[i, k:] = v  # sentinel padding must be ignored
+        ell = ELLMatrix(cols=jnp.asarray(cols), nnz=jnp.asarray(nnz),
+                        vals=None, num_cols=v)
+        bm_d = pack_ell_device(ell)
+        bm_h = pack_ell_host(cols, nnz, v)
+        np.testing.assert_array_equal(np.asarray(bm_d.words),
+                                      np.asarray(bm_h.words))
+
+
 def test_bitpack_scores_exact(binary_case):
     dense, q = binary_case
     bm = pack_dense(dense)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import ctypes
 import dataclasses
+import functools
 import logging
 import os
 import subprocess
@@ -112,39 +113,97 @@ def pack_ell_host(cols: np.ndarray, nnz: np.ndarray, num_cols: int
                      num_cols=num_cols)
 
 
-def pack_ell_device(ell) -> BitMatrix:
-    """Pack on-device (no host round trip — device<->host transfers can
-    dwarf the pack itself). Scatter-adds of distinct bit values per row
-    are exact because column ids are unique within a row."""
-    cols = ell.cols
-    n, nnz_pad = cols.shape
-    v = ell.num_cols
+PACK_ROW_BLOCK = 512  # rows per pack-kernel program (lane-major tiles)
+
+
+def _make_pack_kernel(nnz_pad: int, row_block: int):
+    """Pallas pack: one program owns a word tile that stays in VMEM
+    while every nonzero is folded in, so each packed word is written to
+    HBM exactly once.
+
+    Layout is the whole game on TPU (probe: scripts/probe_pack.py,
+    2M x 128 at V=29523, v5e):
+      - XLA broadcast-compare fori_loop (shipped previously): 3.30 s
+      - rows on sublanes + width-1 LANE slices per nonzero: 21.4 s —
+        every iteration pays a cross-lane broadcast relayout
+      - this kernel — nonzeros on sublanes, ROWS on lanes, word-ids
+        on sublanes: 0.23 s (14x). ``colsT[j:j+1, :]`` is a sublane
+        slice and its broadcast against the word-id iota runs on the
+        native sublane-broadcast path; per-tile ``acc.T`` lands the
+        output directly in row-major [N, num_words] at full speed.
+
+    Invalid slots are pre-masked to column -1, which maps to word -1
+    and can never match the nonnegative word-id vector.
+    """
+    from jax.experimental import pallas as pl
+
+    def kernel(colsT_ref, out_ref):
+        t = pl.program_id(1)
+        wid = (jax.lax.broadcasted_iota(jnp.int32, (LANES, row_block), 0)
+               + t * LANES)
+        acc = jnp.zeros((LANES, row_block), jnp.uint32)
+        for j in range(nnz_pad):
+            c = colsT_ref[j:j + 1, :]  # [1, row_block] sublane slice
+            word = (c // TILE_BITS) * LANES + (c % LANES)
+            bitv = (jnp.uint32(1)
+                    << ((c % TILE_BITS) // LANES).astype(jnp.uint32))
+            acc = acc | jnp.where(word == wid, bitv, jnp.uint32(0))
+        out_ref[:] = acc.T
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _pack_fn(n: int, nnz_pad: int, v: int, interpret: bool):
+    """Jitted pack program for one (n, nnz_pad, v) shape. Cached: a
+    fresh closure per call would retrace AND re-run the ~5 s Mosaic
+    compile of the unrolled kernel on every pack (measured in bench as
+    pack_steady_s == pack_build_s before the cache)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     vp = _round_up(v, TILE_BITS)
-    num_words = vp // 32
+    num_words = vp // 32  # multiple of LANES since vp % TILE_BITS == 0
     n_pad = _round_up(max(n, 1), ROW_BLOCK)
+    row_block = min(PACK_ROW_BLOCK, n_pad)
+    kernel = _make_pack_kernel(nnz_pad, row_block)
 
     @jax.jit
     def pack(cols, nnz):
-        valid_col = jnp.arange(nnz_pad)[None, :] < nnz[:, None]
-        word_ids = jnp.arange(num_words, dtype=jnp.int32)
+        valid = jnp.arange(nnz_pad)[None, :] < nnz[:, None]
+        c = jnp.where(valid & (cols >= 0) & (cols < v), cols, -1)
+        c = jnp.pad(c, ((0, n_pad - n), (0, 0)), constant_values=-1)
+        f = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_pad, num_words),
+                                           jnp.uint32),
+            grid=(n_pad // row_block, num_words // LANES),
+            in_specs=[pl.BlockSpec((nnz_pad, row_block),
+                                   lambda i, t: (0, i),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((row_block, LANES),
+                                   lambda i, t: (i, t),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )
+        return f(c.T)
 
-        def body(j, words):
-            # TPU scatter is slow; a broadcast-compare OR against the
-            # word-id lane vector is bandwidth-bound instead
-            c = cols[:, j]
-            ok = (c >= 0) & (c < v) & valid_col[:, j]
-            word = jnp.where(ok, (c // TILE_BITS) * LANES + (c % LANES),
-                             -1)
-            bitv = (jnp.uint32(1)
-                    << ((c % TILE_BITS) // LANES).astype(jnp.uint32))
-            hit = word[:, None] == word_ids[None, :]  # [N, num_words]
-            contrib = jnp.where(hit, bitv[:, None], jnp.uint32(0))
-            return words.at[:n].set(words[:n] | contrib)
+    return pack
 
-        words = jnp.zeros((n_pad, num_words), dtype=jnp.uint32)
-        return jax.lax.fori_loop(0, nnz_pad, body, words)
 
-    return BitMatrix(words=pack(cols, ell.nnz), num_rows=n, num_cols=v)
+def pack_ell_device(ell, interpret: Optional[bool] = None) -> BitMatrix:
+    """Pack on-device (no host round trip — device<->host transfers can
+    dwarf the pack itself). OR-ing distinct bit values per row is exact
+    because column ids are unique within a row."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, nnz_pad = ell.cols.shape
+    v = ell.num_cols
+    pack = _pack_fn(n, nnz_pad, v, interpret)
+    return BitMatrix(words=pack(ell.cols, ell.nnz), num_rows=n,
+                     num_cols=v)
 
 
 def pack_ell(ell, nthreads: Optional[int] = None,
@@ -152,8 +211,8 @@ def pack_ell(ell, nthreads: Optional[int] = None,
              ) -> BitMatrix:
     """Pack a binary ELLMatrix into a BitMatrix.
 
-    When the ELL already lives on device, packing runs there (scatter
-    loop) — uploading a freshly host-packed bit matrix costs ~8x the
+    When the ELL already lives on device, packing runs there (Pallas
+    kernel) — uploading a freshly host-packed bit matrix costs ~8x the
     ELL's own bytes in host->device traffic. The C++ host packer is used
     for numpy-resident matrices.
     """
