@@ -107,11 +107,22 @@ class TextEncoderBase:
         pad = batch_size - n
         return {k: np.pad(v, ((0, pad), (0, 0))) for k, v in enc.items()}
 
-    def _run_batches(self, texts: List[str], batch_size: int,
-                     max_len: int, fn_key, make_fn) -> np.ndarray:
-        """Generic batched forward. ``make_fn(seq_len)`` builds the jitted
-        function; results for padding rows are dropped."""
-        outs = []
+    # in-flight dispatch window: enough to hide tokenize time and the
+    # host link's round trip behind device compute, small enough that
+    # queued outputs (~15 MB/batch for a dense [128, V] f32 embed)
+    # never hold more than ~128 MB of HBM
+    PIPELINE_DEPTH = 8
+
+    def _dispatch_batches(self, texts: List[str], batch_size: int,
+                          max_len: int, fn_key, make_fn):
+        """Yield (device_out, n_real) per batch WITHOUT host syncs.
+
+        jax dispatch is async: yielding the device arrays lets the
+        caller fetch a trailing batch while the device runs the next
+        ones and the host tokenizes ahead. Fetching inside the loop
+        (the old shape of this code) serialized tokenize -> compute ->
+        readback per batch and left the device idle two thirds of the
+        time on the beta-search rerank path."""
         for start in range(0, len(texts), batch_size):
             chunk = texts[start: start + batch_size]
             enc = self.encode(chunk, max_len=max_len)
@@ -126,5 +137,30 @@ class TextEncoderBase:
                 self._place(enc["token_type_ids"]),
                 self._place(enc["attention_mask"]),
             )
-            outs.append(np.asarray(out[: len(chunk)]))
+            yield out, len(chunk)
+
+    def _pipeline_batches(self, texts: List[str], batch_size: int,
+                          max_len: int, fn_key, make_fn, fetch):
+        """Run batches with a bounded in-flight window; ``fetch(out, n)``
+        converts one device result to host arrays."""
+        from collections import deque
+
+        pending: deque = deque()
+        results = []
+        for item in self._dispatch_batches(texts, batch_size, max_len,
+                                           fn_key, make_fn):
+            pending.append(item)
+            if len(pending) > self.PIPELINE_DEPTH:
+                results.append(fetch(*pending.popleft()))
+        while pending:
+            results.append(fetch(*pending.popleft()))
+        return results
+
+    def _run_batches(self, texts: List[str], batch_size: int,
+                     max_len: int, fn_key, make_fn) -> np.ndarray:
+        """Generic batched forward. ``make_fn(seq_len)`` builds the jitted
+        function; results for padding rows are dropped."""
+        outs = self._pipeline_batches(
+            texts, batch_size, max_len, fn_key, make_fn,
+            lambda out, n: np.asarray(out[:n]))
         return np.concatenate(outs, axis=0)

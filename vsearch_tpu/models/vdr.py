@@ -288,7 +288,8 @@ class VDREncoder(TextEncoderBase):
                      batch_size: int = 128,
                      max_len: Optional[int] = None,
                      topk: Optional[int] = None,
-                     activate_lexical: bool = False
+                     activate_lexical: bool = False,
+                     return_device: bool = False
                      ) -> "tuple[np.ndarray, np.ndarray]":
         """Embed directly into compact sparse form: (cols [N, k] int32
         sentinel-padded, vals [N, k] f32).
@@ -297,6 +298,14 @@ class VDREncoder(TextEncoderBase):
         this is ~40x less host memory and device->host traffic than
         ``embed`` + host sparsification. k is ``topk`` rounded up to the
         lexical-union bound when ``activate_lexical``.
+
+        ``return_device=True`` keeps the result as device arrays so a
+        downstream consumer (the beta-rerank scorer) can use them
+        without ever paying the device->host transfer. In that mode the
+        row count is padded UP to a multiple of ``batch_size`` (trailing
+        rows are garbage from pad inputs): downstream jit consumers then
+        see one shape per size bucket instead of one per exact N, which
+        would recompile on every serve request.
         """
         if isinstance(texts, str):
             texts = [texts]
@@ -324,22 +333,22 @@ class VDREncoder(TextEncoderBase):
 
             return jax.jit(fn)
 
-        outs_c, outs_v = [], []
-        for start in range(0, len(texts), batch_size):
-            chunk = texts[start: start + batch_size]
-            enc = self.encode(chunk, max_len=max_len)
-            enc = self._pad_batch(enc, batch_size)
-            key = ("emb_sparse", topk, activate_lexical,
-                   enc["input_ids"].shape[1], batch_size)
-            if key not in self._fn_cache:
-                self._fn_cache[key] = make(enc["input_ids"].shape[1])
-            c, v = self._fn_cache[key](
-                self.variables, self._place(enc["input_ids"]),
-                self._place(enc["token_type_ids"]),
-                self._place(enc["attention_mask"]))
-            outs_c.append(np.asarray(c[: len(chunk)]))
-            outs_v.append(np.asarray(v[: len(chunk)]))
-        return np.concatenate(outs_c), np.concatenate(outs_v)
+        if return_device:
+            outs = self._pipeline_batches(
+                texts, batch_size, max_len,
+                ("emb_sparse", topk, activate_lexical), make,
+                lambda out, n: out)
+            if len(outs) == 1:
+                return outs[0]
+            return (jnp.concatenate([c for c, _ in outs]),
+                    jnp.concatenate([v for _, v in outs]))
+        outs = self._pipeline_batches(
+            texts, batch_size, max_len,
+            ("emb_sparse", topk, activate_lexical), make,
+            lambda out, n: (np.asarray(out[0][:n]),
+                            np.asarray(out[1][:n])))
+        return (np.concatenate([c for c, _ in outs]),
+                np.concatenate([v for _, v in outs]))
 
     def disentangle(self, text: str, topk: int = 768, visual: bool = False,
                     save_file: Optional[str] = None) -> Dict[str, float]:

@@ -132,9 +132,21 @@ class Retriever(BiEncoder):
         ret_texts = [ret_texts[int(i)] for i in sort_perm]
         inverse = np.argsort(sort_perm, kind="stable")[inverse]
         q32 = np.asarray(q_emb, dtype=np.float32)
-        if hasattr(self.encoder_p, "embed_sparse"):
+        if (hasattr(self.encoder_p, "embed_sparse")
+                and getattr(self.encoder_p, "_mesh", None) is None):
             # activate_lexical=True matches the reference's default
-            # embed() masking for the rerank stage (retriever.py:140)
+            # embed() masking for the rerank stage (retriever.py:140).
+            # Candidate embeddings stay ON DEVICE and rescoring runs
+            # there too: only the [b, k] score matrix comes back,
+            # instead of (cols, vals) at ~7 KB per candidate (measured
+            # +25% beta QPS over a slow host link)
+            cols, vals = self.encoder_p.embed_sparse(
+                ret_texts, batch_size=batch_size, activate_lexical=True,
+                return_device=True)
+            rescored = np.asarray(_sparse_rerank_scores(
+                cols, vals, inverse, b, k,
+                np.ascontiguousarray(q32)))
+        elif hasattr(self.encoder_p, "embed_sparse"):
             cols, vals = self.encoder_p.embed_sparse(
                 ret_texts, batch_size=batch_size, activate_lexical=True)
             cols = cols[inverse].reshape(b, k, -1)
@@ -302,6 +314,39 @@ class Retriever(BiEncoder):
         else:
             raise NotImplementedError(index_type)
         return self.index
+
+
+def _sparse_rerank_scores(cols, vals, inverse: np.ndarray, b: int, k: int,
+                          q32: np.ndarray):
+    """On-device beta-rerank rescoring.
+
+    ``cols``/``vals`` are the deduped candidate embeddings in compact
+    sparse form, still on device (rows may be padded past the real
+    count — see ``embed_sparse(return_device=True)``); ``inverse`` maps
+    each (query, slot) to its candidate row. Only the [b, k] score
+    matrix crosses back to the host, instead of (cols, vals) at ~7 KB
+    per candidate. Sentinel columns (== V) hit the zero pad column.
+    """
+    inv_bk = inverse.astype(np.int32).reshape(b, k)
+    return _sparse_rerank_scores_jit(cols, vals, inv_bk, q32)
+
+
+def _make_sparse_rerank_jit():
+    import jax
+    import jax.numpy as jnp
+
+    def score(cols, vals, inv_bk, q):
+        qpad = jnp.pad(q, ((0, 0), (0, 1)))
+        c = jnp.take(cols, inv_bk, axis=0)          # [b, k, kk]
+        v = jnp.take(vals, inv_bk, axis=0).astype(jnp.float32)
+        c = jnp.minimum(c, q.shape[1])
+        g = jnp.take_along_axis(qpad[:, None, :], c, axis=2)
+        return jnp.sum(g * v, axis=2)
+
+    return jax.jit(score)
+
+
+_sparse_rerank_scores_jit = _make_sparse_rerank_jit()
 
 
 def _passage_text(sample: Any) -> str:
