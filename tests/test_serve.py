@@ -177,6 +177,74 @@ def test_coalescer_isolates_poisoned_requests():
             assert np.asarray(ids).shape == (1, 2)
 
 
+def test_coalescer_splits_giant_requests():
+    """A request larger than max_queries runs as several device calls
+    (each within one call's budget) and still returns every row in
+    order."""
+    from vsearch_tpu.serve import SearchCoalescer
+
+    calls = []
+
+    def search(queries, k, rerank, n_real=None):
+        calls.append(len(queries))
+        ids = np.asarray([[hash(q) % 97] * k for q in queries])
+        return ids, ids.astype(np.float32)
+
+    co = SearchCoalescer(search, max_queries=4)
+    queries = [f"q{i}" for i in range(10)]
+    ids, scores = co.submit(queries, k=2, rerank=False)
+    assert np.asarray(ids).shape == (10, 2)
+    for i, q in enumerate(queries):
+        assert ids[i][0] == hash(q) % 97
+    assert len(calls) >= 3  # 10 queries / budget 4
+    assert all(c <= co._bucket(4) for c in calls)
+
+
+def test_coalescer_small_requests_jump_giant_chunks():
+    """A singleton arriving while a giant request's first chunk is on
+    the device must be served before the giant's remaining chunks
+    (round-3 weakness: FIFO coalescing added the giant's whole latency
+    to everything queued behind it)."""
+    import time
+
+    from vsearch_tpu.serve import SearchCoalescer
+
+    call_log = []
+    first_chunk_running = threading.Event()
+
+    def search(queries, k, rerank, n_real=None):
+        call_log.append(list(queries))
+        first_chunk_running.set()
+        time.sleep(0.08)  # device busy: the rest piles up
+        ids = np.asarray([[1] * k for _ in queries])
+        return ids, ids.astype(np.float32)
+
+    co = SearchCoalescer(search, max_queries=2)
+    order = []
+
+    def giant():
+        co.submit([f"g{i}" for i in range(6)], k=2, rerank=False)
+        order.append("giant")
+
+    def single():
+        first_chunk_running.wait(timeout=5)
+        co.submit(["single"], k=2, rerank=False)
+        order.append("single")
+
+    tg = threading.Thread(target=giant)
+    ts = threading.Thread(target=single)
+    tg.start()
+    ts.start()
+    tg.join()
+    ts.join()
+    single_call = next(i for i, c in enumerate(call_log)
+                       if "single" in c)
+    last_giant_call = max(i for i, c in enumerate(call_log)
+                          if any(q.startswith("g") for q in c))
+    assert single_call < last_giant_call
+    assert order[0] == "single"
+
+
 def test_search_empty_queries_rejected(server):
     req = urllib.request.Request(
         server + "/search", data=b'{"queries": []}',

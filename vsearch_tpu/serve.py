@@ -40,15 +40,27 @@ class SearchCoalescer:
     One dispatcher thread owns the device (so no lock is needed on the
     search path). Each wakeup drains everything already queued, groups
     by (k, rerank) — different groups can't share a device program —
-    and runs ONE retrieve per group. No artificial wait is added: an
-    idle server dispatches a lone request immediately; batching emerges
-    exactly when the device is the bottleneck.
+    and runs ONE retrieve for the chosen group. No artificial wait is
+    added: an idle server dispatches a lone request immediately;
+    batching emerges exactly when the device is the bottleneck.
+
+    Fairness: requests larger than ``max_queries`` split into chunks
+    that schedule independently, and each wakeup serves the smallest
+    pending group first (bounded by MAX_PASS_OVER so big requests
+    can't starve) — a batch-256 request adds at most one small call's
+    latency to singletons arriving behind it, not its whole runtime.
     """
+
+    # a buffered request may be passed over (smaller traffic served
+    # first) at most this many times before its group runs regardless —
+    # bounds tail latency under a continuous stream of small requests
+    MAX_PASS_OVER = 2
 
     def __init__(self, search_fn, max_queries: int = 256):
         self._search_fn = search_fn
         self._max_queries = max_queries
         self._q: queue.Queue = queue.Queue()
+        self._passed_over = 0  # dispatcher-thread only
         self.device_calls = 0  # observability: compare vs request count
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="search-coalescer")
@@ -63,25 +75,58 @@ class SearchCoalescer:
             # validate before enqueueing: a bad request must fail alone,
             # never inside a merged device call
             raise ValueError("queries must be a non-empty list")
-        done = threading.Event()
-        slot: Dict[str, Any] = {}
-        self._q.put((queries, k, rerank, done, slot))
-        done.wait()
-        if "error" in slot:
-            raise slot["error"]
-        return slot["ids"], slot["scores"]
+        # fairness: a request bigger than one device call's budget is
+        # split into chunks that enqueue as independent items, so
+        # traffic arriving behind a giant batch interleaves with its
+        # chunks instead of waiting out one huge call
+        step = self._max_queries
+        pending = []
+        for start in range(0, len(queries), step):
+            done = threading.Event()
+            slot: Dict[str, Any] = {}
+            self._q.put((queries[start: start + step], k, rerank, done,
+                         slot))
+            pending.append((done, slot))
+        for done, _ in pending:
+            done.wait()
+        for _, slot in pending:
+            if "error" in slot:
+                raise slot["error"]
+        if len(pending) == 1:
+            slot = pending[0][1]
+            return slot["ids"], slot["scores"]
+        return (np.concatenate([s["ids"] for _, s in pending]),
+                np.concatenate([s["scores"] for _, s in pending]))
 
-    def _drain(self, first):
-        batch = [first]
-        total = len(first[0])
-        while total < self._max_queries:
-            try:
-                item = self._q.get_nowait()
-            except queue.Empty:
+    def _select(self, pending):
+        """Pick the items for the next device call from the buffered
+        requests: the (k, rerank) group with the fewest total queries
+        runs first (a giant request's chunks then add at most one
+        small call's latency to singletons behind them, not the whole
+        giant), smallest requests first within the group, up to one
+        call's query budget. The oldest buffered item is passed over at
+        most MAX_PASS_OVER times before its group is forced."""
+        groups: Dict[Any, list] = defaultdict(list)
+        for item in pending:
+            groups[(item[1], item[2])].append(item)
+        oldest = pending[0]
+        oldest_key = (oldest[1], oldest[2])
+        if self._passed_over >= self.MAX_PASS_OVER:
+            key = oldest_key
+        else:
+            key = min(groups, key=lambda g: sum(len(it[0])
+                                                for it in groups[g]))
+        items, total = [], 0
+        for it in sorted(groups[key], key=lambda it: len(it[0])):
+            if items and total + len(it[0]) > self._max_queries:
                 break
-            batch.append(item)
-            total += len(item[0])
-        return batch
+            items.append(it)
+            total += len(it[0])
+        if any(it is oldest for it in items):
+            self._passed_over = 0
+        else:
+            self._passed_over += 1
+        return items
 
     @staticmethod
     def _bucket(n: int) -> int:
@@ -111,31 +156,38 @@ class SearchCoalescer:
             row += m
 
     def _loop(self):
+        pending: list = []  # buffered items, FIFO by arrival
         while True:
-            batch = self._drain(self._q.get())
-            groups = defaultdict(list)
-            for item in batch:
-                groups[(item[1], item[2])].append(item)
-            for (k, rerank), items in groups.items():
+            if not pending:
+                pending.append(self._q.get())
+            while True:  # drain everything already queued into the buffer
                 try:
-                    try:
-                        self._run_group(items, k, rerank)
-                    except Exception:
-                        if len(items) == 1:
-                            raise
-                        # isolate a poisoned request: retry each alone
-                        # so one bad payload can't fail its co-riders
-                        for it in items:
-                            try:
-                                self._run_group([it], k, rerank)
-                            except Exception as exc:
-                                it[4]["error"] = exc
-                except Exception as exc:
+                    pending.append(self._q.get_nowait())
+                except queue.Empty:
+                    break
+            items = self._select(pending)
+            chosen = {id(it) for it in items}
+            pending = [it for it in pending if id(it) not in chosen]
+            k, rerank = items[0][1], items[0][2]
+            try:
+                try:
+                    self._run_group(items, k, rerank)
+                except Exception:
+                    if len(items) == 1:
+                        raise
+                    # isolate a poisoned request: retry each alone
+                    # so one bad payload can't fail its co-riders
                     for it in items:
-                        it[4].setdefault("error", exc)
-                finally:
-                    for it in items:
-                        it[3].set()
+                        try:
+                            self._run_group([it], k, rerank)
+                        except Exception as exc:
+                            it[4]["error"] = exc
+            except Exception as exc:
+                for it in items:
+                    it[4].setdefault("error", exc)
+            finally:
+                for it in items:
+                    it[3].set()
 
 
 class RetrieverService:
