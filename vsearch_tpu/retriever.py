@@ -132,34 +132,21 @@ class Retriever(BiEncoder):
         ret_texts = [ret_texts[int(i)] for i in sort_perm]
         inverse = np.argsort(sort_perm, kind="stable")[inverse]
         q32 = np.asarray(q_emb, dtype=np.float32)
-        if (hasattr(self.encoder_p, "embed_sparse")
-                and getattr(self.encoder_p, "_mesh", None) is None):
+        if hasattr(self.encoder_p, "embed_sparse"):
             # activate_lexical=True matches the reference's default
             # embed() masking for the rerank stage (retriever.py:140).
             # Candidate embeddings stay ON DEVICE and rescoring runs
             # there too: only the [b, k] score matrix comes back,
             # instead of (cols, vals) at ~7 KB per candidate (measured
-            # +25% beta QPS over a slow host link)
+            # +25% beta QPS over a slow host link). Under a mesh the
+            # embeds are row-sharded and the rescore gather rides ICI,
+            # which still beats a device->host round trip per batch.
             cols, vals = self.encoder_p.embed_sparse(
                 ret_texts, batch_size=batch_size, activate_lexical=True,
                 return_device=True)
             rescored = np.asarray(_sparse_rerank_scores(
                 cols, vals, inverse, b, k,
                 np.ascontiguousarray(q32)))
-        elif hasattr(self.encoder_p, "embed_sparse"):
-            cols, vals = self.encoder_p.embed_sparse(
-                ret_texts, batch_size=batch_size, activate_lexical=True)
-            cols = cols[inverse].reshape(b, k, -1)
-            vals = vals[inverse].reshape(b, k, -1).astype(np.float32)
-            qpad = np.concatenate(
-                [q32, np.zeros((b, 1), np.float32)], axis=1)
-            # score[b, i] = sum_j vals[b,i,j] * q[b, cols[b,i,j]]
-            rescored = np.einsum(
-                "bij,bij->bi",
-                np.take_along_axis(qpad[:, None, :],
-                                   np.minimum(cols, q32.shape[1]),
-                                   axis=2),
-                vals)
         else:
             p_emb = self.encoder_p.embed(ret_texts,
                                          batch_size=batch_size)
