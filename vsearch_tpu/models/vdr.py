@@ -54,6 +54,10 @@ class VDREncoderConfig:
     # but set True automatically when converting reference torch
     # checkpoints, so published golden scores reproduce bit-for-bit.
     compat_pad_pooling: bool = False
+    # Opt-in serving speed knob: run the vocab projection + max-pool as
+    # a fused int8 Pallas kernel (ops/int8_head.py). ~0.5% relative
+    # quantization error on scores; default off (bf16 exact-parity path)
+    int8_head: bool = False
     bert: BertConfig = dataclasses.field(default_factory=BertConfig)
     type: str = "vdr"
 
@@ -135,7 +139,11 @@ class VDRModule(nn.Module):
             # elu1p commutes with max, so pool raw logits. Two chunked
             # strategies keep the [B, L, V'] logits tensor out of HBM:
             b, l, _ = h.shape
-            if b * l >= 8192:
+            if cfg.int8_head:
+                from ..ops.int8_head import int8_head_pool
+
+                pooled = int8_head_pool(h, proj, valid)
+            elif b * l >= 8192:
                 # vocab-chunked: scan over V' chunks with the FULL
                 # M = B*L GEMM each step. The K=768 matmuls on this
                 # target only reach peak with both M and N large —
@@ -228,6 +236,18 @@ class VDREncoder(TextEncoderBase):
             from ..tokenization import get_tokenizer
             tokenizer = get_tokenizer(config.model_id)
         super().__init__(config, variables, tokenizer)
+
+    def set_int8_head(self, enabled: bool = True):
+        """Toggle the fused int8 projection head (ops/int8_head.py), a
+        serving-speed knob with ~0.5% relative score quantization error.
+        Rebuilds the module and drops compiled fns; params unchanged
+        (quantization happens inside the forward)."""
+        if self.config.int8_head != enabled:
+            self.config = dataclasses.replace(self.config,
+                                              int8_head=enabled)
+            self.module = VDRModule(self.config)
+            self._fn_cache.clear()
+        return self
 
     # -- jitted pipelines --------------------------------------------------
     def _make_embed_fn(self, topk: Optional[int], activate_lexical: bool,
