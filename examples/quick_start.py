@@ -15,6 +15,14 @@ import numpy as np
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 
+# honor JAX_PLATFORMS even when the environment pre-imports jax (some
+# containers initialize a default accelerator backend eagerly; the env
+# var alone is read too late there)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def make_tiny_retriever():
     sys.path.insert(0, os.path.join(_ROOT, "tests"))

@@ -158,6 +158,9 @@ class VDRImageEncoder:
         self._fn_cache: Dict = {}
 
     def _embed_fn(self, topk: int):
+        # clamp like the text encoders: topk can't exceed the output dim
+        topk = min(topk, self.config.num_valid_tokens)
+
         def fn(variables, pixels):
             emb = self.module.apply(variables, pixels)
             return emb * build_topk_mask(emb, k=topk)
@@ -180,10 +183,17 @@ class VDRImageEncoder:
                 pixels = pixels.transpose(0, 2, 3, 1)
         if topk not in self._fn_cache:
             self._fn_cache[topk] = self._embed_fn(topk)
+        # async dispatch: queue a bounded window of device batches
+        # before fetching, so ViT compute overlaps host readback
+        # (same pattern as TextEncoderBase._pipeline_batches)
+        pending = []
         outs = []
         for s in range(0, pixels.shape[0], batch_size):
-            outs.append(np.asarray(self._fn_cache[topk](
-                self.variables, jnp.asarray(pixels[s: s + batch_size]))))
+            pending.append(self._fn_cache[topk](
+                self.variables, jnp.asarray(pixels[s: s + batch_size])))
+            if len(pending) > 8:
+                outs.append(np.asarray(pending.pop(0)))
+        outs.extend(np.asarray(p) for p in pending)
         return np.concatenate(outs, axis=0)
 
     def disentangle(self, image, topk: Optional[int] = None,
