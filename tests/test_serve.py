@@ -245,6 +245,44 @@ def test_coalescer_small_requests_jump_giant_chunks():
     assert order[0] == "single"
 
 
+def test_coalescer_starvation_bound():
+    """A continuous stream of singletons must not starve a big request:
+    after MAX_PASS_OVER pass-overs its group runs regardless."""
+    import time
+
+    from vsearch_tpu.serve import SearchCoalescer
+
+    call_log = []
+    stop = threading.Event()
+
+    def search(queries, k, rerank, n_real=None):
+        call_log.append(len(queries))
+        time.sleep(0.03)
+        ids = np.asarray([[1] * k for _ in queries])
+        return ids, ids.astype(np.float32)
+
+    co = SearchCoalescer(search, max_queries=8)
+
+    def spammer():
+        while not stop.is_set():
+            co.submit(["small"], k=2, rerank=False)
+
+    spam_threads = [threading.Thread(target=spammer) for _ in range(3)]
+    for t in spam_threads:
+        t.start()
+    time.sleep(0.1)  # spammers saturate the dispatcher
+    t0 = time.time()
+    ids, _ = co.submit([f"big{i}" for i in range(8)], k=2, rerank=False)
+    big_wait = time.time() - t0
+    stop.set()
+    for t in spam_threads:
+        t.join()
+    assert np.asarray(ids).shape == (8, 2)
+    # pass-over bound: the big call runs within MAX_PASS_OVER + its own
+    # call (~4 x 0.03 s); a starved request would wait the full 5 s
+    assert big_wait < 1.0
+
+
 def test_search_empty_queries_rejected(server):
     req = urllib.request.Request(
         server + "/search", data=b'{"queries": []}',

@@ -110,12 +110,25 @@ class SearchCoalescer:
         for item in pending:
             groups[(item[1], item[2])].append(item)
         oldest = pending[0]
-        oldest_key = (oldest[1], oldest[2])
         if self._passed_over >= self.MAX_PASS_OVER:
-            key = oldest_key
-        else:
-            key = min(groups, key=lambda g: sum(len(it[0])
-                                                for it in groups[g]))
+            # force the oldest ITEM itself into the call (forcing only
+            # its group is not enough: an oversized request sharing a
+            # group with a stream of singletons would still lose the
+            # smallest-first fill every time), then top up with its
+            # group's smallest co-riders
+            key = (oldest[1], oldest[2])
+            items, total = [oldest], len(oldest[0])
+            for it in sorted(groups[key], key=lambda it: len(it[0])):
+                if it is oldest:
+                    continue
+                if total + len(it[0]) > self._max_queries:
+                    break
+                items.append(it)
+                total += len(it[0])
+            self._passed_over = 0
+            return items
+        key = min(groups, key=lambda g: sum(len(it[0])
+                                            for it in groups[g]))
         items, total = [], 0
         for it in sorted(groups[key], key=lambda it: len(it[0])):
             if items and total + len(it[0]) > self._max_queries:
