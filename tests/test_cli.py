@@ -254,3 +254,29 @@ def test_serve_rerank_budget_knob(workdir):
                           "--rerank_budget", "1"])
     with pytest.raises(SystemExit):
         prepare_retriever(args, ap)
+
+
+def test_serve_rerank_budget_rejected_on_bitpack_bot(workdir,
+                                                     monkeypatch):
+    """--rerank_budget is a silent no-op on the exact bit-packed BoT
+    scorer (no rerank stage reads it) — the CLI must reject it there
+    just as it does for dense (review finding, round 3)."""
+    from vsearch_tpu.cli.build_index.binary_token_index import \
+        main as build
+    from vsearch_tpu.cli.serve import make_parser, prepare_retriever
+    from vsearch_tpu.index import BoTIndex
+
+    idx = str(workdir / "bot_budget.bot.npz")
+    build(["--text_file", str(workdir / "corpus.jsonl"),
+           "--save_file", idx, "--num_shift", "5",
+           "--tokenizer", str(workdir / "ckpt"),
+           "--num_workers", "1"])
+    # on CPU the small index wouldn't route through bitpack; force the
+    # TPU-serving dispatch the validation is about
+    monkeypatch.setattr(BoTIndex, "_use_bitpack", lambda self: True)
+    ap = make_parser()
+    args = ap.parse_args(["--checkpoint", str(workdir / "ckpt"),
+                          "--index_file", idx,
+                          "--rerank_budget", "65536"])
+    with pytest.raises(SystemExit):
+        prepare_retriever(args, ap)

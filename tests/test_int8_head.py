@@ -116,3 +116,24 @@ def test_bf16_inputs(rng):
     ref = _reference_pool(h, proj, np.ones((b, l), bool))
     scale = np.abs(ref).max()
     np.testing.assert_allclose(out16, ref, atol=0.05 * scale)
+
+
+def test_set_int8_head_rejects_mean_pooling():
+    """The fused kernel only backs the 'max' pooling arm; enabling it
+    on a mean-pooling encoder must refuse loudly, not silently no-op
+    (review finding, round 3)."""
+    from tests.helpers import make_tokenizer, tiny_bert_config
+    from vsearch_tpu.models.bert import BertConfig
+    from vsearch_tpu.models.vdr import VDREncoder, VDREncoderConfig
+
+    tok = make_tokenizer()
+    bert = tiny_bert_config(tok.vocab_size)
+    cfg = VDREncoderConfig(
+        bert=BertConfig(**{k: v for k, v in vars(bert).items()
+                           if k in BertConfig.__dataclass_fields__}),
+        max_len=16, shift_vocab_num=5, pooling="mean", pooling_topk=4)
+    enc = VDREncoder(cfg, tokenizer=tok)
+    with pytest.raises(ValueError, match="pooling='max' only"):
+        enc.set_int8_head(True)
+    # disabling is always fine
+    enc.set_int8_head(False)

@@ -363,3 +363,31 @@ def test_mesh_search_endpoint(mesh_server):
     out2 = _post(url + "/search", {"queries": ["green tea drink"],
                                    "k": 3, "rerank": True})
     assert len(out2["ids"][0]) == 3
+
+
+def test_no_coalesce_path_validates_requests():
+    """Validation lives in RetrieverService.search, so the
+    --no_coalesce lock path rejects bad payloads with the intended
+    message instead of dying deep inside encode() (review finding,
+    round 3)."""
+    from vsearch_tpu.serve import RetrieverService
+
+    class FakeRetriever:
+        index = None
+
+        def retrieve(self, queries, k, rerank=False):
+            import numpy as _np
+
+            self.last = list(queries)
+            n = len(queries)
+            return type("R", (), {"ids": _np.zeros((n, k), int),
+                                  "scores": _np.zeros((n, k))})()
+
+    r = FakeRetriever()
+    svc = RetrieverService(r, coalesce=False)
+    with pytest.raises(ValueError, match="non-empty list"):
+        svc.search([])
+    # a bare string is wrapped, not exploded into characters
+    out = svc.search("green tea", k=2)
+    assert r.last == ["green tea"]
+    assert len(out["ids"]) == 1

@@ -111,3 +111,23 @@ def test_binary_proxy_search_recovers_topk(ell_and_q):
         true_top = set(np.argsort(-exact[b])[:5].tolist())
         hits += len(true_top & set(np.asarray(res.ids)[b].tolist()))
     assert hits >= 14  # >= 70% with candidates = 30% of corpus
+
+
+def test_tight_rerank_budget_keeps_exact_scores(ell_and_q):
+    """An operator-set rerank_budget at/below k*nnz_pad must still
+    return EXACT weighted scores (rerank rescores the k candidates),
+    not raw JL-sketch dots — downstream thresholds depend on the
+    scale (review finding, round 3)."""
+    ell, mat, q = ell_and_q
+    idx = SparseIndex(search_mode="sketch")
+    idx.set_ell(ell)
+    # budget so small the candidate cap collapses to k itself
+    idx.rerank_budget = 1
+    res = idx.search(q, k=5)
+    exact = q @ mat.toarray().T
+    got = np.asarray(res.scores)
+    ids = np.asarray(res.ids)
+    want = np.take_along_axis(exact, ids, axis=1)
+    # scores must be the exact weighted scores OF THE RETURNED ids
+    # (recall may be poor at C=k — that's the operator's trade)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-2)

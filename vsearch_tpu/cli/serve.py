@@ -64,7 +64,10 @@ def prepare_retriever(args, ap):
         applied = False
         for enc in encs.values():
             if hasattr(enc, "set_int8_head"):
-                enc.set_int8_head(True)
+                try:
+                    enc.set_int8_head(True)
+                except ValueError as e:  # e.g. pooling='mean'
+                    ap.error(f"--int8_head: {e}")
                 applied = True
         if not applied:
             ap.error("--int8_head applies to VDR encoders only")
@@ -106,15 +109,25 @@ def prepare_retriever(args, ap):
     elif args.selection:
         ap.error("--selection requires --index_file (no index loaded)")
     if args.rerank_budget is not None:
-        from ..index import SparseIndex
+        from ..index import BoTIndex, SparseIndex
 
         if retriever.index is None:
             ap.error("--rerank_budget requires --index_file")
         if not isinstance(retriever.index, SparseIndex):
             # DenseIndex has no rerank stage: the attribute would be
             # set but never read — reject instead of silently ignoring
-            ap.error("--rerank_budget applies to sparse/bag-of-token "
+            ap.error("--rerank_budget applies to real-valued sparse "
                      "indexes only (dense search has no rerank stage)")
+        if (isinstance(retriever.index, BoTIndex)
+                and retriever.index._use_bitpack()):
+            # the bit-packed BoT scorer computes EXACT scores with no
+            # candidate/rerank stage, so the budget would be set but
+            # never read — the same silent no-op this validation
+            # exists to prevent
+            ap.error("--rerank_budget has no effect on bag-of-token "
+                     "indexes served through the exact bit-packed "
+                     "scorer; it applies to real-valued sparse "
+                     "indexes (sketch/bit-proxy search)")
         retriever.index.rerank_budget = args.rerank_budget
     if args.mesh_dp:
         from ..parallel.mesh import make_mesh

@@ -272,7 +272,11 @@ class SparseIndex(DenseIndex):
             if self.sketch is None:
                 self.build_sketch()
             c = num_candidates
-            rr = self.rerank_exact and c > k
+            # rerank whenever enabled — even at c == k (a tight
+            # rerank_budget) the rescore fixes the score SCALE from
+            # raw JL-sketch dots to exact weighted scores, keeping
+            # downstream thresholds stable at any budget
+            rr = self.rerank_exact
             key = ("s", k, c, rr)
             if self._search_fn is None or self._search_fn[0] != key:
                 fn = jax.jit(lambda q, ell, s, r: two_stage_search(

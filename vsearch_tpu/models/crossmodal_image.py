@@ -158,9 +158,6 @@ class VDRImageEncoder:
         self._fn_cache: Dict = {}
 
     def _embed_fn(self, topk: int):
-        # clamp like the text encoders: topk can't exceed the output dim
-        topk = min(topk, self.config.num_valid_tokens)
-
         def fn(variables, pixels):
             emb = self.module.apply(variables, pixels)
             return emb * build_topk_mask(emb, k=topk)
@@ -170,7 +167,10 @@ class VDRImageEncoder:
     def embed(self, images, topk: Optional[int] = None,
               batch_size: int = 32, **_ignored) -> np.ndarray:
         """Images: path(s), PIL image(s), or [B, H, W, 3] array."""
-        topk = topk or self.config.topk
+        # clamp BEFORE the cache lookup: distinct oversized topk values
+        # would otherwise compile duplicate identical programs
+        topk = min(topk or self.config.topk,
+                   self.config.num_valid_tokens)
         if isinstance(images, (str, bytes)) or hasattr(images, "crop"):
             images = [images]
         if isinstance(images, list):
@@ -185,15 +185,13 @@ class VDRImageEncoder:
             self._fn_cache[topk] = self._embed_fn(topk)
         # async dispatch: queue a bounded window of device batches
         # before fetching, so ViT compute overlaps host readback
-        # (same pattern as TextEncoderBase._pipeline_batches)
-        pending = []
-        outs = []
-        for s in range(0, pixels.shape[0], batch_size):
-            pending.append(self._fn_cache[topk](
-                self.variables, jnp.asarray(pixels[s: s + batch_size])))
-            if len(pending) > 8:
-                outs.append(np.asarray(pending.pop(0)))
-        outs.extend(np.asarray(p) for p in pending)
+        from .encoder_base import pipeline_window
+
+        outs = pipeline_window(
+            (self._fn_cache[topk](self.variables,
+                                  jnp.asarray(pixels[s: s + batch_size]))
+             for s in range(0, pixels.shape[0], batch_size)),
+            np.asarray)
         return np.concatenate(outs, axis=0)
 
     def disentangle(self, image, topk: Optional[int] = None,

@@ -17,6 +17,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# in-flight dispatch window: enough to hide host-side prep and the
+# host link's round trip behind device compute, small enough that
+# queued outputs (~15 MB/batch for a dense [128, V] f32 embed) never
+# hold more than ~128 MB of HBM. Shared by the text and image embed
+# pipelines — tune it in one place.
+PIPELINE_DEPTH = 8
+
+
+def pipeline_window(device_results, fetch, depth: int = None):
+    """Drain an iterator of async device results with a bounded
+    in-flight window: ``fetch(item)`` converts one result to host
+    arrays. Keeping ``depth`` dispatches queued lets device compute
+    overlap host readback (jax dispatch is async)."""
+    from collections import deque
+
+    if depth is None:
+        depth = PIPELINE_DEPTH
+    pending: deque = deque()
+    results = []
+    for item in device_results:
+        pending.append(item)
+        if len(pending) > depth:
+            results.append(fetch(pending.popleft()))
+    while pending:
+        results.append(fetch(pending.popleft()))
+    return results
+
+
 def length_buckets(max_len: int, min_bucket: int = 32) -> List[int]:
     """Doubling buckets: 32, 64, ..., max_len (always includes max_len)."""
     buckets = []
@@ -107,11 +135,7 @@ class TextEncoderBase:
         pad = batch_size - n
         return {k: np.pad(v, ((0, pad), (0, 0))) for k, v in enc.items()}
 
-    # in-flight dispatch window: enough to hide tokenize time and the
-    # host link's round trip behind device compute, small enough that
-    # queued outputs (~15 MB/batch for a dense [128, V] f32 embed)
-    # never hold more than ~128 MB of HBM
-    PIPELINE_DEPTH = 8
+    PIPELINE_DEPTH = PIPELINE_DEPTH  # module constant; see top of file
 
     def _dispatch_batches(self, texts: List[str], batch_size: int,
                           max_len: int, fn_key, make_fn):
@@ -143,18 +167,10 @@ class TextEncoderBase:
                           max_len: int, fn_key, make_fn, fetch):
         """Run batches with a bounded in-flight window; ``fetch(out, n)``
         converts one device result to host arrays."""
-        from collections import deque
-
-        pending: deque = deque()
-        results = []
-        for item in self._dispatch_batches(texts, batch_size, max_len,
-                                           fn_key, make_fn):
-            pending.append(item)
-            if len(pending) > self.PIPELINE_DEPTH:
-                results.append(fetch(*pending.popleft()))
-        while pending:
-            results.append(fetch(*pending.popleft()))
-        return results
+        return pipeline_window(
+            self._dispatch_batches(texts, batch_size, max_len, fn_key,
+                                   make_fn),
+            lambda item: fetch(*item), depth=self.PIPELINE_DEPTH)
 
     def _run_batches(self, texts: List[str], batch_size: int,
                      max_len: int, fn_key, make_fn) -> np.ndarray:

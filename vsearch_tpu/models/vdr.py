@@ -242,6 +242,13 @@ class VDREncoder(TextEncoderBase):
         serving-speed knob with ~0.5% relative score quantization error.
         Rebuilds the module and drops compiled fns; params unchanged
         (quantization happens inside the forward)."""
+        if enabled and self.config.pooling != "max":
+            # the fused kernel pools max-over-L in VMEM; the 'mean'
+            # arm never dispatches to it, so enabling would be a
+            # silent no-op — refuse instead
+            raise ValueError(
+                "int8 fused head supports pooling='max' only "
+                f"(this encoder uses pooling={self.config.pooling!r})")
         if self.config.int8_head != enabled:
             self.config = dataclasses.replace(self.config,
                                               int8_head=enabled)

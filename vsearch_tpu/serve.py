@@ -227,6 +227,15 @@ class RetrieverService:
     def search(self, queries, k: Optional[int] = None,
                rerank: bool = False, return_texts: bool = False
                ) -> Dict[str, Any]:
+        # validate here, not (only) in the coalescer, so the
+        # --no_coalesce lock path rejects bad payloads with the same
+        # message instead of dying deep inside encode()
+        if isinstance(queries, str):
+            # list('text') would explode a bare string into characters
+            queries = [queries]
+        queries = list(queries)
+        if not queries:
+            raise ValueError("queries must be a non-empty list")
         k = k or self.default_k
         if self._coalescer is not None:
             ids, scores = self._coalescer.submit(queries, k,
