@@ -234,3 +234,53 @@ def test_beta_rerank_dedup_and_sort_invariance(rng):
         np.testing.assert_allclose(
             np.asarray(out.scores)[qi],
             np.sort(scores)[::-1], rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("index_type", ["dense", "sparse", "bag_of_token"])
+def test_build_index_accepts_dict_corpus(retriever, index_type):
+    """Dict corpora ({'title','text'}) must build on EVERY index type
+    with the encode_corpus title-joining — the fused sparse path and
+    the tokenizer-only BoT path previously crashed on dicts (probe
+    finding, round 3; reference biencoder.py:88-109)."""
+    corpus = [{"text": t, "title": f"t{i}" if i % 2 else ""}
+              for i, t in enumerate(CORPUS)]
+    retriever.build_index(corpus, index_type=index_type, batch_size=4)
+    res = retriever.retrieve(["who wrote the theory of relativity"],
+                             k=2, rerank=(index_type == "bag_of_token"))
+    ids = np.asarray(res.ids)
+    assert ids.shape == (1, 2)
+    assert (ids < len(CORPUS)).all()
+    # index.data keeps the ORIGINAL dicts for get_sample
+    assert isinstance(retriever.index.get_sample(int(ids[0, 0])), dict)
+
+
+def test_retrieve_negatives_from_string_queries(retriever):
+    """Negative mining accepts raw query strings (not only
+    embeddings): the unconditional np.asarray wrap previously turned
+    them into an np.str_ array that crashed process_query (probe
+    finding, round 3)."""
+    retriever.build_index(CORPUS, index_type="bag_of_token",
+                          batch_size=4)
+    negs = retriever.retrieve_negatives(
+        ["who wrote the theory of relativity"], [["einstein"]],
+        ret_neg_num=2, seed=0)
+    assert len(negs) == 1 and len(negs[0]) == 2
+    assert all("einstein" not in t for t in negs[0])
+    # embeddings keep working
+    emb = retriever.encoder_q.embed(["who wrote relativity"])
+    negs2 = retriever.retrieve_negatives(emb, [["einstein"]],
+                                         ret_neg_num=1, seed=0)
+    assert len(negs2[0]) == 1
+
+
+def test_embed_topk_clamped_to_out_dim(retriever):
+    """embed(topk > V') clamps instead of crashing lax.top_k — the
+    reference default a=768 exceeds small output dims (probe finding,
+    round 3)."""
+    out = retriever.encoder_q.embed(["green tea"], topk=10_000)
+    assert out.shape[1] == retriever.encoder_q.config.out_dim
+    # oversized and exact-dim requests share one compiled fn
+    n_before = len(retriever.encoder_q._fn_cache)
+    retriever.encoder_q.embed(["green tea"],
+                              topk=retriever.encoder_q.config.out_dim)
+    assert len(retriever.encoder_q._fn_cache) == n_before

@@ -391,3 +391,27 @@ def test_no_coalesce_path_validates_requests():
     out = svc.search("green tea", k=2)
     assert r.last == ["green tea"]
     assert len(out["ids"]) == 1
+
+
+def test_embed_endpoint_validates_requests():
+    """/embed rejects empty payloads with a clear message and wraps a
+    bare string, on both coalesced and lock paths (embed always takes
+    the lock path) — previously np.concatenate noise (probe finding,
+    round 3)."""
+    from vsearch_tpu.serve import RetrieverService
+
+    class FakeEncoder:
+        def embed(self, texts, **kw):
+            import numpy as _np
+
+            return _np.zeros((len(texts), 4))
+
+    class FakeRetriever:
+        index = None
+        encoder_q = FakeEncoder()
+
+    svc = RetrieverService(FakeRetriever(), coalesce=False)
+    with pytest.raises(ValueError, match="non-empty list"):
+        svc.embed([])
+    out = svc.embed("green tea", sparse=False)
+    assert len(out["embeddings"]) == 1

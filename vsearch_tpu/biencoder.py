@@ -23,6 +23,26 @@ logger = logging.getLogger(__name__)
 _NATIVE_CONFIG = "vsearch_tpu_config.json"
 
 
+def join_corpus(corpus) -> List[str]:
+    """Normalize corpus entries to strings: dicts with title/text join
+    as "title [SEP] text" (reference biencoder.py:88-109). Shared by
+    encode_corpus and every Retriever.build_index path so dict corpora
+    work identically for dense, sparse and bag-of-token indexes."""
+    processed = []
+    for p in corpus:
+        if isinstance(p, str):
+            processed.append(p)
+        elif isinstance(p, dict):
+            if p.get("title"):
+                processed.append(f"{p['title']} [SEP] {p['text']}")
+            else:
+                processed.append(p["text"])
+        else:
+            raise TypeError(
+                f"corpus entries must be str or dict, got {type(p)}")
+    return processed
+
+
 @dataclasses.dataclass
 class BiEncoderConfig:
     """Counterpart of reference BiEncoderConfig
@@ -137,15 +157,7 @@ class BiEncoder:
                       batch_size: Optional[int] = None,
                       max_len: Optional[int] = None, **kwargs) -> np.ndarray:
         batch_size = batch_size or self.default_batch_size
-        processed = []
-        for p in corpus:
-            if isinstance(p, str):
-                processed.append(p)
-            elif isinstance(p, dict):
-                if p.get("title"):
-                    processed.append(f"{p['title']} [SEP] {p['text']}")
-                else:
-                    processed.append(p["text"])
+        processed = join_corpus(corpus)
         return self.encoder_p.embed(processed, batch_size=batch_size,
                                     max_len=max_len,
                                     activate_lexical=False, **kwargs)

@@ -171,6 +171,10 @@ class VDRTextEncoder(TextEncoderBase):
         max_len = max_len or self.config.max_len
         if topk == "cfg":
             topk = self.config.topk
+        if topk is not None and topk > 0:
+            # clamp to the valid-vocab output dim (lax.top_k rejects
+            # k > dim; clamping before the cache key dedups compiles)
+            topk = min(topk, self.config.out_dim)
         if bow:
             key, make = "bow", lambda L: jax.jit(
                 lambda v, ids, tt, am: self._bow_valid(ids))

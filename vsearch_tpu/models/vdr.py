@@ -303,6 +303,11 @@ class VDREncoder(TextEncoderBase):
         max_len = max_len or self.config.max_len
         if topk == "cfg":
             topk = self.config.topk
+        if topk is not None and topk > 0:
+            # clamp like embed_sparse/the image encoder: lax.top_k
+            # rejects k > dim, and clamping BEFORE the jit-cache key
+            # avoids duplicate compiles for oversized values
+            topk = min(topk, self.config.out_dim)
         if bow:
             key = "bow"
             make = lambda L: self._make_bow_fn()

@@ -169,7 +169,15 @@ class Retriever(BiEncoder):
         index = index if index is not None else self.index
         assert index is not None, "no index found"
         assert answers, "no answer strings found"
-        results = self.retrieve(np.asarray(q_emb), a=768, k=ret_topk,
+        if not (isinstance(q_emb, str) or (
+                isinstance(q_emb, list) and q_emb
+                and isinstance(q_emb[0], str))):
+            # embeddings normalize to an array; string queries must
+            # reach process_query untouched (np.asarray would turn
+            # them into an np.str_ array that the embedding branch
+            # then tries to cast to float)
+            q_emb = np.asarray(q_emb)
+        results = self.retrieve(q_emb, a=768, k=ret_topk,
                                 dropout=ret_dropout, index=index)
         rnd = pyrandom.Random(seed)
         batch_neg_texts: List[List[str]] = []
@@ -234,9 +242,14 @@ class Retriever(BiEncoder):
             index = SparseIndex()
             if hasattr(self.encoder_p, "embed_sparse"):
                 # fused device path: topk happens on-device and only the
-                # compact (cols, vals) cross the host boundary
+                # compact (cols, vals) cross the host boundary. Join
+                # dict corpora exactly like encode_corpus does so the
+                # fused path embeds the same strings as the dense path
+                from .biencoder import join_corpus
+
                 cols, vals = self.encoder_p.embed_sparse(
-                    texts, batch_size=batch_size, max_len=max_len)
+                    join_corpus(texts), batch_size=batch_size,
+                    max_len=max_len)
                 from .ops.ell import ell_from_topk
                 index.set_ell(ell_from_topk(
                     cols, vals, self.encoder_p.config.out_dim))
@@ -247,8 +260,14 @@ class Retriever(BiEncoder):
                                                    val_dtype=np.float32))
         elif index_type == IndexType.BAG_OF_TOKEN:
             index = BoTIndex()
+            # the reference tokenizes raw entries and crashes on dict
+            # corpora (retriever.py:239 hands dicts to the tokenizer);
+            # intended behavior is the encode_corpus joining
+            from .biencoder import join_corpus
+
             ell, cols_np, nnz_np = self._build_bot_ell(
-                texts, batch_size=batch_size, max_len=max_len or 128)
+                join_corpus(texts), batch_size=batch_size,
+                max_len=max_len or 128)
             index.set_ell(ell, host_cache=(cols_np, nnz_np))
         else:
             raise NotImplementedError(index_type)

@@ -254,6 +254,11 @@ class RetrieverService:
         return out
 
     def embed(self, texts, sparse: bool = True) -> Dict[str, Any]:
+        if isinstance(texts, str):
+            texts = [texts]
+        texts = list(texts)
+        if not texts:
+            raise ValueError("texts must be a non-empty list")
         with self._lock, self.embed_timer.step(items=len(texts)):
             enc = self.retriever.encoder_q
             if sparse and hasattr(enc, "embed_sparse"):
