@@ -137,8 +137,13 @@ for i in range(16):
         "negative_ctxs": [],
         "hard_negative_ctxs": [{"text": f"unrelated passage {i}"}],
     })
-workdir = tempfile.mkdtemp(prefix=f"mh_trainer_p{PID}_")
-train_file = os.path.join(workdir, "train.jsonl")
+# the output dir must be SHARED across processes: checkpoint saves
+# (including run_train's final save) are orbax collectives, and
+# per-process paths would deadlock the barrier. Keyed by PORT so
+# concurrent test runs don't collide; the data file stays per-PID.
+workdir = os.path.join(tempfile.gettempdir(), f"mh_trainer_{PORT}")
+os.makedirs(workdir, exist_ok=True)
+train_file = os.path.join(workdir, f"train_{PID}.jsonl")
 with open(train_file, "w") as f:
     f.write("\n".join(json.dumps(r) for r in rows) + "\n")
 

@@ -1,4 +1,5 @@
 """End-to-end trainer test: tiny dataset, few steps, checkpoint/resume."""
+import dataclasses
 import json
 
 import numpy as np
@@ -105,26 +106,60 @@ def test_run_train_resume_public_api(train_file, tmp_path):
                       learning_rate=5e-4, num_epoch_to_save=10,
                       save_steps=2, output_dir=str(tmp_path), seed=9)
 
-    # straight-through run; mid-epoch saves land at step 2 (epoch 1,
-    # offset 2) and step 5 (epoch 2, offset 2); no epoch-end saves
+    # reference trajectory: a clean straight-through run
+    r0 = make_retriever()
+    t0 = RetrieverTrainer(
+        r0, dataclasses.replace(cfg, output_dir=str(tmp_path / "ref")),
+        [BiEncoderDataset(path)])
+    t0.run_train()
+    assert int(t0.state.step) == 6
+
+    # crashed run: mid-epoch saves land at step 2 (epoch 1, offset 2)
+    # and step 5 (epoch 2, offset 2); the process dies right after the
+    # step-5 save, BEFORE the end-of-run save — the scenario mid-epoch
+    # checkpoints exist for
     r1 = make_retriever()
     t1 = RetrieverTrainer(r1, cfg, [BiEncoderDataset(path)])
-    t1.run_train()
-    assert int(t1.state.step) == 6
+    # _step_fn is built inside run_train (by _init_state), so hook the
+    # init to wrap the real step with the crash
+    orig_init, calls = t1._init_state, {"n": 0}
+
+    def init_and_arm(updates_per_epoch):
+        orig_init(updates_per_epoch)
+        orig_step = t1._step_fn
+
+        def dying_step(state, batch, rng):
+            if calls["n"] == 5:
+                raise KeyboardInterrupt("simulated crash after step 5")
+            calls["n"] += 1
+            return orig_step(state, batch, rng)
+
+        t1._step_fn = dying_step
+
+    t1._init_state = init_and_arm
+    with pytest.raises(KeyboardInterrupt):
+        t1.run_train()
 
     # fresh trainer + public resume: restores step 5, replays only
-    # epoch 2's last batch
+    # epoch 2's last batch, matches the clean run exactly
     r2 = make_retriever()
     t2 = RetrieverTrainer(r2, cfg, [BiEncoderDataset(path)])
     t2.run_train(resume=True)
     assert t2.start_epoch == 1 and t2.start_batch == 2
     assert int(t2.state.step) == 6
 
-    flat1 = jax_flatten(t1.state.params)
+    flat1 = jax_flatten(t0.state.params)
     flat2 = jax_flatten(t2.state.params)
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+    # a SECOND resume restores the completed run's end state (the new
+    # unconditional final save) and replays nothing
+    r3 = make_retriever()
+    t3 = RetrieverTrainer(r3, cfg, [BiEncoderDataset(path)])
+    t3.run_train(resume=True)
+    assert t3.start_epoch == 2 and int(t3.state.step) == 6
 
 
 def jax_flatten(tree):
@@ -183,7 +218,7 @@ def test_training_improves_retrieval(train_file, tmp_path):
         return float(np.mean(np.asarray(res.ids)[:, 0]
                              == np.arange(len(queries))))
 
-    cfg = TrainConfig(batch_size=8, num_train_epochs=40,
+    cfg = TrainConfig(batch_size=8, num_train_epochs=60,
                       learning_rate=2e-3, num_warmup_epochs=2,
                       num_epoch_to_save=1000, hard_negatives=1,
                       other_negatives=0, log_batch_step=10000,

@@ -54,10 +54,17 @@ def all_gather_objects(obj: Any, max_bytes: int = 1 << 20) -> List[Any]:
     from jax.experimental import multihost_utils
 
     payload = pickle.dumps(obj)
-    if len(payload) + 8 > max_bytes:
+    # the size check must be COLLECTIVE: if one process raised locally
+    # while the others entered the allgather, they would block forever
+    # at the cross-process barrier instead of failing cleanly
+    sizes = multihost_utils.process_allgather(
+        jnp.asarray([len(payload) + 8], dtype=jnp.int64))
+    max_size = int(np.max(np.asarray(sizes)))
+    if max_size > max_bytes:
         raise ValueError(
-            f"object of {len(payload)} bytes exceeds max_bytes "
-            f"{max_bytes}; pass a larger max_bytes")
+            f"an object of {max_size - 8} bytes (largest across "
+            f"processes) exceeds max_bytes {max_bytes}; pass a larger "
+            "max_bytes")
     buf = np.zeros(max_bytes, dtype=np.uint8)
     buf[:8] = np.frombuffer(
         len(payload).to_bytes(8, "little"), dtype=np.uint8)

@@ -24,7 +24,16 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1,
         if n % tp:
             raise ValueError(f"{n} devices not divisible by tp={tp}")
         dp = n // tp
+    if dp * tp > n:
+        # fail with the mesh arithmetic, not numpy's opaque reshape error
+        raise ValueError(
+            f"mesh dp={dp} x tp={tp} needs {dp * tp} devices but only "
+            f"{n} are available")
     if dp * tp != n:
+        import logging
+        logging.getLogger(__name__).warning(
+            "mesh dp=%d x tp=%d uses %d of %d devices; the rest stay "
+            "idle", dp, tp, dp * tp, n)
         devices = devices[: dp * tp]
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))

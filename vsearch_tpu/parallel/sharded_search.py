@@ -25,6 +25,16 @@ def _pad_rows(n: int, shards: int) -> int:
     return per * shards
 
 
+def _pad_leading(arr, pad_widths, constant_values=0):
+    """Pad keeping host arrays on the host: jnp.pad on a numpy input
+    would materialize the FULL padded array on the default device
+    before device_put shards it — at wiki21m scale that OOMs device 0
+    for an index that fits fine at 1/shards per device."""
+    if isinstance(arr, np.ndarray):
+        return np.pad(arr, pad_widths, constant_values=constant_values)
+    return jnp.pad(arr, pad_widths, constant_values=constant_values)
+
+
 def _demote_padding(ids: jax.Array, scores: jax.Array, num_rows: int
                     ) -> jax.Array:
     """Mask scores of padding rows (id >= num_rows) to -inf BEFORE the
@@ -44,7 +54,7 @@ def shard_rows(mesh: Mesh, arr: jax.Array, axis_name: str = "dp"
     n = arr.shape[0]
     pad = _pad_rows(n, shards) - n
     if pad:
-        arr = jnp.pad(arr, [(0, pad)] + [(0, 0)] * (arr.ndim - 1))
+        arr = _pad_leading(arr, [(0, pad)] + [(0, 0)] * (arr.ndim - 1))
     spec = P(axis_name, *([None] * (arr.ndim - 1)))
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
@@ -59,10 +69,11 @@ def shard_ell(mesh: Mesh, ell: ELLMatrix, axis_name: str = "dp"
     cols, nnz, vals = ell.cols, ell.nnz, ell.vals
     if pad:
         pad_col = ell.num_cols if ell.sentinel_padded else 0
-        cols = jnp.pad(cols, ((0, pad), (0, 0)), constant_values=pad_col)
-        nnz = jnp.pad(nnz, (0, pad))
+        cols = _pad_leading(cols, ((0, pad), (0, 0)),
+                            constant_values=pad_col)
+        nnz = _pad_leading(nnz, ((0, pad),))
         if vals is not None:
-            vals = jnp.pad(vals, ((0, pad), (0, 0)))
+            vals = _pad_leading(vals, ((0, pad), (0, 0)))
     sh2 = NamedSharding(mesh, P(axis_name, None))
     sh1 = NamedSharding(mesh, P(axis_name))
     return ELLMatrix(
@@ -116,7 +127,7 @@ def shard_bitmat(mesh: Mesh, bitmat, axis_name: str = "dp"):
     # each shard must hold a whole number of kernel row-blocks
     target = -(-n_pad // (shards * ROW_BLOCK)) * shards * ROW_BLOCK
     if target != n_pad:
-        words = jnp.pad(words, ((0, target - n_pad), (0, 0)))
+        words = _pad_leading(words, ((0, target - n_pad), (0, 0)))
     sh = NamedSharding(mesh, P(axis_name, None))
     return BitMatrix(words=jax.device_put(words, sh),
                      num_rows=bitmat.num_rows, num_cols=bitmat.num_cols)
@@ -199,10 +210,16 @@ def make_sharded_ell_search(mesh: Mesh, k: int,
     k_local = min(k + (padded_rows - num_rows), rows_per)
     num_cols = ell_template.num_cols
     has_vals = ell_template.vals is not None
+    # carry the template's padding scheme: a sentinel_padded=False ELL
+    # pads with col 0, and scorers only apply the nnz validity mask in
+    # that mode — rebuilding shards as sentinel_padded=True would make
+    # every padding slot gather q[:, 0] and inflate row scores
+    sentinel_padded = ell_template.sentinel_padded
 
     def local(q, cols, nnz, vals):
         ell_shard = ELLMatrix(cols=cols, nnz=nnz, vals=vals,
-                              num_cols=num_cols, sentinel_padded=True)
+                              num_cols=num_cols,
+                              sentinel_padded=sentinel_padded)
         scores = score_fn(q, ell_shard)  # [B, rows_per]
         s, i = jax.lax.top_k(scores, k_local)
         i = i + jax.lax.axis_index(axis_name) * rows_per

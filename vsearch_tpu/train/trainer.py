@@ -218,6 +218,13 @@ class RetrieverTrainer:
                            cfg.num_train_epochs + 1):
             logger.info("***** Epoch %d *****", epoch)
             self._train_epoch(epoch, it)
+        if (cfg.num_train_epochs > self.start_epoch
+                and cfg.num_train_epochs % cfg.num_epoch_to_save != 0):
+            # the epoch loop only saves on the num_epoch_to_save cadence;
+            # without a final save the trailing epochs (e.g. 71-75 with
+            # cadence 10) would be silently discarded on process exit
+            self.save_model_checkpoint(str(cfg.num_train_epochs))
+            self.save_train_checkpoint(cfg.num_train_epochs)
         # the donated train state owns the live weights; without this the
         # encoders keep the stale (deleted, on donating backends) params
         # from the last checkpoint sync
@@ -228,7 +235,12 @@ class RetrieverTrainer:
         cfg = self.cfg
         # reseed per batch for resumable ctx-pool shuffling
         # (reference train_ir.py:136-137)
-        rng = pyrandom.Random(cfg.seed + epoch + iteration)
+        # the reference reseeds with seed+epoch+iteration
+        # (train_ir.py:136-137), which collides on every
+        # (epoch, iteration) diagonal; the larger epoch stride keeps the
+        # resumable-reseed contract without cross-epoch collisions until
+        # an epoch exceeds 1e6 iterations
+        rng = pyrandom.Random(cfg.seed + epoch * 1_000_003 + iteration)
         enc_q = self.retriever.encoder_q
         enc_p = self.retriever.encoder_p
         b = create_biencoder_batch(
@@ -249,12 +261,14 @@ class RetrieverTrainer:
                 ret_topk=cfg.ret_topk, pool_size=cfg.negative_pool_size,
                 ret_dropout=cfg.ret_dropout,
                 seed=cfg.seed + epoch + iteration)
+            from ..data.batching import _encode_fixed
+
+            # mined negatives are bare texts (get_sample titles are
+            # dropped by the mining path), so no title pair here
             flat = [t for sample_negs in negs for t in sample_negs]
-            extra = np.zeros((len(flat), p_tensor.shape[1]), dtype=np.int32)
-            for i, text in enumerate(flat):
-                ids = enc_p.tokenizer.encode(
-                    text, max_length=p_tensor.shape[1])
-                extra[i, : len(ids)] = ids
+            extra = np.stack([
+                _encode_fixed(enc_p.tokenizer, text, p_tensor.shape[1])
+                for text in flat])
             p_tensor = np.concatenate([p_tensor, extra], axis=0)
         batch = TrainBatch(q_ids=jax.numpy.asarray(b.q_tensor),
                            p_ids=jax.numpy.asarray(p_tensor))
@@ -275,8 +289,11 @@ class RetrieverTrainer:
             iteration = it.get_iteration()
             batch, host_batch = self._make_device_batch(samples, epoch,
                                                         iteration)
-            rng = jax.random.PRNGKey(
-                cfg.seed * 1000003 + epoch * 10007 + iteration)
+            # fold_in is collision-free across (epoch, iteration) —
+            # an additive formula reused dropout masks once an epoch
+            # exceeded its mixing constant in iterations
+            rng = jax.random.fold_in(jax.random.fold_in(
+                jax.random.PRNGKey(cfg.seed), epoch), iteration)
             return i, iteration, batch, host_batch, rng
 
         if cfg.prefetch_batches < 1 or (
@@ -290,16 +307,31 @@ class RetrieverTrainer:
         import threading
 
         q: queue.Queue = queue.Queue(maxsize=cfg.prefetch_batches)
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            """Blocking put that aborts when the consumer is gone —
+            without the stop check an exception mid-epoch would leave
+            the worker tokenizing and uploading the entire remaining
+            epoch before the error could surface."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for i, (samples, _source) in enumerate(
                         it.iterate_ds_data(epoch=epoch)):
-                    q.put(produce(i, samples))
+                    if stop.is_set() or not put(produce(i, samples)):
+                        return
             except BaseException as exc:  # surface in the main thread
-                q.put(exc)
+                put(exc)
                 return
-            q.put(None)
+            put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -312,7 +344,8 @@ class RetrieverTrainer:
                     raise item
                 yield item
         finally:
-            # unblock a producer stuck on put() if we exited early
+            stop.set()
+            # drain so a put() blocked before stop was set can finish
             while t.is_alive():
                 try:
                     q.get_nowait()
