@@ -245,3 +245,126 @@ def test_build_bot_ell_rejects_shift_beyond_vocab():
 
     with pytest.raises(ValueError, match="shift.*vocab_size"):
         build_bot_ell(TokStub(), ["x"], shift=999)
+
+
+def test_bot_reload_drops_stale_bitmat(tmp_path, rng):
+    """init_index on a BoTIndex that already searched must rebuild the
+    packed bit matrix — a stale bitmat would silently answer queries
+    against the OLD corpus (review finding, round 3)."""
+    from vsearch_tpu.index.bot_build import save_bot_host
+
+    def make_ell_file(path, seed):
+        r = np.random.default_rng(seed)
+        mat = (r.random((30, 64)) < 0.2).astype(np.float32)
+        width = int(mat.sum(axis=1).max())
+        cols = np.full((30, width), 64, np.int32)
+        nnz = np.zeros(30, np.int32)
+        for i in range(30):
+            nz = np.nonzero(mat[i])[0]
+            cols[i, : len(nz)] = nz
+            nnz[i] = len(nz)
+        save_bot_host(str(path), cols, nnz, 64)
+        return mat
+
+    mat_a = make_ell_file(tmp_path / "a.ell.npz", 1)
+    mat_b = make_ell_file(tmp_path / "b.ell.npz", 2)
+    idx = BoTIndex(search_mode="bitpack")
+    idx.init_index(str(tmp_path / "a.ell.npz"))
+    q = rng.random((2, 64)).astype(np.float32)
+    res_a = idx.search(q, k=3)
+    assert idx.bitmat is not None
+    idx.init_index(str(tmp_path / "b.ell.npz"))
+    assert idx.bitmat is None  # stale pack dropped
+    res_b = idx.search(q, k=3)
+    del res_a  # searched only to materialize the pack for corpus A
+    # compare SCORES (tie-robust): results must reflect corpus B
+    best_b = (q @ mat_b.T).max(axis=1)
+    # bf16 packing: ~1e-3 relative
+    np.testing.assert_allclose(np.asarray(res_b.scores)[:, 0], best_b,
+                               rtol=5e-3)
+
+
+def test_bitpack_path_validates_query_dim(rng):
+    """The BoT bitpack path must reject misaligned query dims instead
+    of silently zero-padding them to the packed bit width (review
+    finding, round 3)."""
+    mat = (rng.random((20, 64)) < 0.3).astype(np.float32)
+    idx = BoTIndex(search_mode="bitpack")
+    idx.set_vectors(sp.csr_matrix(mat))
+    with pytest.raises(ValueError, match="query dim"):
+        idx.search(rng.random((2, 80)).astype(np.float32), k=3)
+
+
+def test_sparse_candidate_count_clamped(rng):
+    """User-supplied num_candidates below k (or above n) must clamp,
+    not crash the rerank's top_k (review finding, round 3)."""
+    mat = sp.random(200, 80, density=0.1, format="csr",
+                    dtype=np.float32,
+                    random_state=np.random.RandomState(3))
+    mat.data[:] = np.abs(mat.data)
+    for mode in ("sketch", "bitproxy"):
+        idx = SparseIndex(search_mode=mode)
+        idx.set_ell(ELLMatrix.from_scipy_csr(mat))
+        q = np.abs(rng.normal(size=(2, 80))).astype(np.float32)
+        res = idx.search(q, k=5, num_candidates=2)  # < k
+        assert np.asarray(res.ids).shape == (2, 5)
+        res = idx.search(q, k=5, num_candidates=10_000)  # > n
+        assert np.asarray(res.ids).shape == (2, 5)
+
+
+def test_binary_proxy_large_k_fallback(rng):
+    """k beyond the bucket capacity falls back to exact selection over
+    support scores instead of crashing (review finding, round 3)."""
+    from vsearch_tpu.ops.bitpack import pack_ell
+    from vsearch_tpu.ops.sketch import binary_proxy_search
+
+    mat = sp.random(300, 64, density=0.15, format="csr",
+                    dtype=np.float32,
+                    random_state=np.random.RandomState(5))
+    mat.data[:] = np.abs(mat.data)
+    ell = ELLMatrix.from_scipy_csr(mat)
+    bm = pack_ell(ell)
+    q = np.abs(rng.normal(size=(2, 64))).astype(np.float32)
+    import jax.numpy as jnp
+    # bucket capacity = 1024 // 8 = 128 < k=200
+    ids, scores = binary_proxy_search(jnp.asarray(q), ell, bm, k=200,
+                                      num_candidates=250)
+    assert ids.shape == (2, 200)
+    assert (np.asarray(ids) < 300).all()
+
+
+def test_recall_target_change_recompiles(rng):
+    """Changing approx_recall_target after a search must take effect —
+    it is baked into the compiled fn via closure (review finding,
+    round 3)."""
+    vecs = rng.normal(size=(64, 32)).astype(np.float32)
+    idx = DenseIndex(dtype=np.float32)
+    idx.set_vectors(vecs)
+    idx.selection = "approx"
+    q = rng.normal(size=(2, 32)).astype(np.float32)
+    idx.search(q, k=4)
+    fn_before = idx._search_fn
+    idx.approx_recall_target = 0.8
+    idx.search(q, k=4)
+    assert idx._search_fn[0] != fn_before[0]
+
+
+def test_dense_reload_after_to_mesh_resets_sharding(rng):
+    """set_vectors after to_mesh must drop the sharded-search state
+    (stale _true_rows / mesh fn would mis-mask the new data — review
+    finding, round 3)."""
+    import jax
+    from vsearch_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device backend")
+    vecs = rng.normal(size=(40, 16)).astype(np.float32)
+    idx = DenseIndex(dtype=np.float32)
+    idx.set_vectors(vecs)
+    idx.to_mesh(make_mesh(dp=len(jax.devices()), tp=1))
+    assert idx._mesh is not None
+    new = rng.normal(size=(12, 16)).astype(np.float32)
+    idx.set_vectors(new)
+    assert idx._mesh is None and idx._true_rows is None
+    res = idx.search(rng.normal(size=(2, 16)).astype(np.float32), k=3)
+    assert (np.asarray(res.ids) < 12).all()

@@ -131,6 +131,11 @@ class DenseIndex:
     def set_vectors(self, mat: Union[np.ndarray, jax.Array]):
         self.vector = jnp.asarray(mat, dtype=self.dtype)
         self._search_fn = None
+        # a reload after to_mesh must drop the sharded-search state:
+        # the compiled fn was built for the OLD row count/sharding and
+        # would mis-clamp k and mis-mask padding ids on the new data
+        self._mesh = None
+        self._true_rows = None
 
     def load_data(self, data_file: Union[str, Sequence[str]]):
         files = _resolve_files(data_file)
@@ -198,14 +203,15 @@ class DenseIndex:
             ids, scores = self._search_fn[1](q, self.vector)
             return SearchResults(np.asarray(ids), np.asarray(scores))
         approx = self.selection == "approx"
-        if self._search_fn is None or self._search_fn[0] != approx:
+        akey = (approx, self.approx_recall_target)
+        if self._search_fn is None or self._search_fn[0] != akey:
             fn = jax.jit(
                 lambda q, vec, k: dense_topk_search(
                     q, vec, k, precision=jax.lax.Precision.DEFAULT,
                     approx=approx,
                     recall_target=self.approx_recall_target),
                 static_argnums=2)
-            self._search_fn = (approx, fn)
+            self._search_fn = (akey, fn)
         ids, scores = self._search_fn[1](q, self.vector, k)
         return SearchResults(np.asarray(ids), np.asarray(scores))
 

@@ -86,13 +86,13 @@ def save_bot_host(path: str, cols: np.ndarray, nnz: np.ndarray,
         return
     from scipy.sparse import csr_matrix, save_npz
 
-    n, nnz_pad = cols.shape
-    keep = np.arange(nnz_pad)[None, :] < nnz[:, None]
-    rows = np.repeat(np.arange(n), nnz)
-    flat_cols = cols[keep]
-    data = np.ones(flat_cols.size, dtype=np.float32)
-    csr = csr_matrix((data, (rows, flat_cols)),
-                     shape=(n, num_cols)).tocsr()
+    from ..ops.ell import ELLMatrix
+
+    # host-leaf ELLMatrix so the keep-mask/repeat conversion lives in
+    # ONE place (ELLMatrix.to_scipy_csr) instead of three
+    ell = ELLMatrix(cols=cols, nnz=nnz, vals=None, num_cols=num_cols,
+                    sentinel_padded=True)
+    csr = ell.to_scipy_csr().tocsr()
     csr16 = csr_matrix(
         (csr.data.astype(np.float16), csr.indices, csr.indptr),
         shape=csr.shape)

@@ -32,8 +32,11 @@ class SparseIndex(DenseIndex):
     index_type = IndexType.SPARSE
     _binary = False
 
-    # two-stage sketch search knobs (see ops/sketch.py): indexes larger
-    # than ``exact_threshold`` rows auto-build an MXU sketch
+    # two-stage search knobs (see ops/sketch.py): in 'auto' mode
+    # indexes larger than ``exact_threshold`` rows route through the
+    # binary-support proxy + exact rerank (bitproxy); the JL-sketch
+    # first stage runs only when search_mode='sketch' is explicit
+    # (sketch_dim/sketch_seed apply there)
     exact_threshold = 131072
     sketch_dim = 1024
     sketch_seed = 42
@@ -55,7 +58,7 @@ class SparseIndex(DenseIndex):
         self.shift = shift
         self.val_dtype = val_dtype
         self.block_rows = block_rows
-        self.search_mode = search_mode  # 'auto' | 'exact' | 'sketch'
+        self.search_mode = search_mode  # 'auto'|'exact'|'sketch'|'bitproxy'
         if selection is not None:  # else the class default applies
             self.selection = selection
         self.ell: Optional[ELLMatrix] = None
@@ -75,9 +78,21 @@ class SparseIndex(DenseIndex):
             self.ell = self._load_native(files)
         else:
             self.ell = self._load_scipy(files)
+        self._reset_derived()
+
+    def _reset_derived(self):
+        """Drop every artifact derived from the previous ELL — a reload
+        that kept the packed bit matrix (or a sharded-search fn built
+        for the old mesh/row count) would silently answer queries
+        against the OLD corpus."""
         self.sketch = None
         self.bitproxy = None
+        self._projection = None
         self._search_fn = None
+        self.bitmat = None  # no-op on plain SparseIndex, vital on BoT
+        self._host_cache = None
+        self._mesh = None
+        self._true_rows = None
 
     def _load_scipy(self, files) -> ELLMatrix:
         from scipy.sparse import csr_matrix, load_npz, vstack
@@ -143,9 +158,7 @@ class SparseIndex(DenseIndex):
 
     def set_ell(self, ell: ELLMatrix):
         self.ell = ell
-        self.sketch = None
-        self.bitproxy = None
-        self._search_fn = None
+        self._reset_derived()
 
     def set_vectors(self, mat):
         """Accept a dense or scipy-sparse matrix and convert to ELL."""
@@ -155,9 +168,7 @@ class SparseIndex(DenseIndex):
             self.ell = ELLMatrix.from_scipy_csr(mat, binary=self._binary)
         else:
             self.ell = ELLMatrix.from_dense(np.asarray(mat))
-        self.sketch = None
-        self.bitproxy = None
-        self._search_fn = None
+        self._reset_derived()
 
     @property
     def vector(self):  # reference-compat accessor
@@ -253,6 +264,10 @@ class SparseIndex(DenseIndex):
             # work — floored only at k (k results need k candidates).
             cap = self.rerank_budget // max(self.ell.nnz_pad, 1)
             num_candidates = min(n, max(k, cap))
+        else:
+            # user-supplied candidate counts get the same clamp: below
+            # k the final top_k crashes, above n approx_max_k crashes
+            num_candidates = min(n, max(num_candidates, k))
         if self._use_bitproxy():
             from ..ops.sketch import binary_proxy_search
 
@@ -441,6 +456,14 @@ class BoTIndex(SparseIndex):
         q = (q_embs.astype(jnp.float32)
              if isinstance(q_embs, jax.Array) else
              jnp.asarray(np.asarray(q_embs), dtype=jnp.float32))
+        if q.shape[-1] != self.ell.num_cols:
+            # prepare_queries would silently zero-pad a misaligned
+            # (e.g. unshifted) query up to the packed bit width and
+            # return plausible-looking wrong scores — validate like
+            # the exact path does
+            raise ValueError(
+                f"query dim {q.shape[-1]} != index dim "
+                f"{self.ell.num_cols}")
         k = min(k, self.ell.shape[0])
         if mesh_info is not None:
             from ..parallel.sharded_search import \
@@ -459,7 +482,9 @@ class BoTIndex(SparseIndex):
             ids, scores = self._search_fn[1](q, self.bitmat)
             return SearchResults(np.asarray(ids), np.asarray(scores))
         sel = self._resolved_selection()
-        key = ("b", k, sel)
+        # the recall knob is baked into the jitted fn via closure, so
+        # it must be part of the cache key or changing it is ignored
+        key = ("b", k, sel, self.approx_recall_target)
         if self._search_fn is None or self._search_fn[0] != key:
             if sel in ("bucketed", "bucketed_approx"):
                 from ..ops.bitpack import bitpack_bucketed_topk

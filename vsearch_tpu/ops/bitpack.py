@@ -295,6 +295,12 @@ def bitpack_scores(q: jax.Array, bitmat: BitMatrix,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n_pad, w = bitmat.words.shape
+    if n_pad % row_block:
+        # the grid floor-divides: a non-dividing row_block would
+        # silently leave the tail rows unscored (garbage in output)
+        raise ValueError(
+            f"row_block {row_block} does not divide padded rows "
+            f"{n_pad} (pack pads to ROW_BLOCK={ROW_BLOCK})")
     b = q.shape[0]
     vp = bitmat.padded_bits
     qT = prepare_queries(q, bitmat)
@@ -390,6 +396,12 @@ def bitpack_bucketed_topk(q: jax.Array, bitmat: BitMatrix, k: int,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n_pad, w = bitmat.words.shape
+    if n_pad % row_block or row_block & (row_block - 1):
+        # grid truncation would skip tail rows; the key splice uses
+        # row_block-1 as a bit mask, so row_block must be a power of 2
+        raise ValueError(
+            f"row_block {row_block} must be a power of two dividing "
+            f"padded rows {n_pad} (pack pads to ROW_BLOCK={ROW_BLOCK})")
     b = q.shape[0]
     vp = bitmat.padded_bits
     kb = row_block // bucket

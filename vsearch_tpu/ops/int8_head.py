@@ -19,6 +19,12 @@ Quantization scheme: symmetric per-token activation scales (amax/127
 over the hidden axis — activations after LayerNorm vary per token) and
 per-vocab-row weight scales. elu1p commutes with max and is applied by
 the caller on the pooled [B, V'] output.
+
+Weight quantization runs per forward (the projection is a traced
+input, so XLA cannot hoist it across calls): one pass over the
+[V', H] f32 weights ~ 0.15 ms at HBM bandwidth, ~1.5% of the fused
+head — accepted rather than caching (w8, wscale) outside the jit,
+which would go stale silently when params update mid-training.
 """
 from __future__ import annotations
 

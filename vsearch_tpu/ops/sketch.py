@@ -136,13 +136,23 @@ def binary_proxy_search(q: jax.Array, ell: ELLMatrix, bitmat, k: int,
     candidate recall is semantically grounded, unlike a random JL sketch.
     Stage 2 exactly re-scores the top candidates from the weighted ELL.
     """
-    from .bitpack import BUCKET, bitpack_bucketed_topk
+    from .bitpack import (BUCKET, bitpack_bucketed_topk,
+                          bitpack_scores)
 
     # fused bucketed selection: the [B, N] support-score matrix never
     # reaches HBM; candidate count is capped by the bucket structure
-    num_candidates = min(num_candidates,
-                         bitmat.words.shape[0] // BUCKET)
-    cand, _ = bitpack_bucketed_topk(q, bitmat, k=num_candidates,
+    capped = min(num_candidates, bitmat.words.shape[0] // BUCKET)
+    if capped < k:
+        # the bucket structure can't yield k distinct candidates
+        # (large k on a small/medium index) — fall back to exact
+        # selection over the support scores rather than crashing the
+        # rerank's top_k with fewer candidates than results
+        scores = bitpack_scores(q, bitmat,
+                                interpret=interpret)[:, : ell.shape[0]]
+        c = min(max(num_candidates, k), scores.shape[1])
+        _, cand = jax.lax.top_k(scores, c)
+        return exact_rerank(q, ell, cand, k)
+    cand, _ = bitpack_bucketed_topk(q, bitmat, k=capped,
                                     interpret=interpret)
     return exact_rerank(q, ell, cand, k)
 
