@@ -125,3 +125,32 @@ def test_native_bot_build_integration(native_tok):
                                   np.asarray(py_ell.nnz))
     np.testing.assert_array_equal(np.asarray(ell.cols),
                                   np.asarray(py_ell.cols))
+
+
+def test_native_gapped_vocab_ids_agree(native_tok):
+    """A vocab with id gaps (e.g. blank vocab.txt lines skipped by the
+    loader) must still encode to the PYTHON dict's ids — the C++ core
+    numbers by line position and previously renumbered every token
+    after a gap (review finding, round 3)."""
+    from vsearch_tpu.tokenization.native import NativeWordPieceTokenizer
+
+    vocab = dict(make_vocab())
+    # open a gap: move the last token's id up by 3
+    last_tok = max(vocab, key=vocab.get)
+    vocab[last_tok] = vocab[last_tok] + 3
+    nt = NativeWordPieceTokenizer(vocab)
+    ids = nt.encode(f"green tea {last_tok}", add_special_tokens=False)
+    assert ids[-1] == vocab[last_tok]
+    # ids round-trip through the python-side maps
+    assert nt.convert_ids_to_tokens([ids[-1]]) == [last_tok]
+
+
+def test_native_tokenize_no_giant_buffer(native_tok):
+    """tokenize() must not allocate a fixed huge buffer: the parity
+    method previously encoded with max_length=2**30 = a 4 GiB array
+    per call (review finding, round 3). Functional check: output
+    matches the python tokenizer on a long text."""
+    from tests.helpers import make_tokenizer
+
+    text = "green tea einstein " * 500
+    assert native_tok.tokenize(text) == make_tokenizer().tokenize(text)

@@ -51,6 +51,12 @@ class BiEncoderDataset:
         self.download_link = download_link
         self.data: List[BiEncoderSample] = []
 
+    def calc_total_data_len(self) -> int:
+        """Total line count WITHOUT parsing/loading — what local-shard
+        geometry needs before each process loads only its own slice."""
+        with open(self.file, "rb") as f:
+            return sum(1 for _ in f)
+
     def load_data(self, require_positive: bool = True,
                   require_hard_negative: bool = True,
                   start_pos: Optional[int] = None,
@@ -83,6 +89,10 @@ class BiEncoderDataset:
                 else:
                     answers = [c["text"]
                                for c in sample["positive_ctxs"]]
+                if isinstance(answers, str):
+                    # a bare string would make has_answer iterate
+                    # CHARACTERS (any passage containing 'a' matches)
+                    answers = [answers]
                 self.data.append(BiEncoderSample(
                     query=query,
                     answers=answers,

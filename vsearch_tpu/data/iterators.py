@@ -89,10 +89,15 @@ class ShardedDataIterator:
     def __init__(self, dataset, shard_id: int = 0, num_shards: int = 1,
                  batch_size: int = 1, shuffle: bool = True,
                  shuffle_seed: int = 0, offset: int = 0,
-                 strict_batch_size: bool = False):
+                 strict_batch_size: bool = False,
+                 total: Optional[int] = None):
         self.dataset = dataset
+        # ``total`` overrides len(dataset) for local-shard loading,
+        # where geometry must be computed from the FULL row count
+        # before each process loads only its own slice
         self.geometry = ShardGeometry(
-            total=len(dataset), shard_id=max(shard_id, 0),
+            total=total if total is not None else len(dataset),
+            shard_id=max(shard_id, 0),
             num_shards=max(num_shards, 1), batch_size=batch_size,
             strict=strict_batch_size)
         self.batch_size = batch_size
@@ -173,9 +178,14 @@ class LocalShardedDataIterator(ShardedDataIterator):
     """Loads only the local shard's rows; indices are then shard-local
     (reference ddp_iterators.py:132-146)."""
 
-    def load_data(self):
-        self.dataset.load_data(start_pos=self.geometry.lo,
+    def load_data(self, require_positive: bool = True,
+                  require_hard_negative: bool = True):
+        self.dataset.load_data(require_positive, require_hard_negative,
+                               start_pos=self.geometry.lo,
                                end_pos=self.geometry.hi)
+        logger.info("local shard loaded: rows [%d, %d) -> %d samples",
+                    self.geometry.lo, self.geometry.hi,
+                    len(self.dataset))
 
     def get_shard_indices(self, epoch: int) -> np.ndarray:
         return epoch_permutation(len(self.dataset), self.shuffle_seed,
@@ -275,18 +285,41 @@ def get_data_iterator(datasets: Sequence, batch_size: int,
     rank-randomized order (avoids FS congestion), wraps each dataset in a
     sharded iterator, interleaves."""
     load_order = np.random.default_rng(rank).permutation(len(datasets))
-    for i in load_order:
-        ds = datasets[int(i)]
-        if is_train_set:
-            ds.load_data(require_positive, require_hard_negative)
-        else:
-            ds.load_data()
-    cls = LocalShardedDataIterator if local_shards else ShardedDataIterator
-    sharded = [cls(ds, shard_id=shard_id, num_shards=num_shards,
-                   batch_size=batch_size, shuffle=shuffle,
-                   shuffle_seed=shuffle_seed, offset=offset)
-               for ds in datasets]
+    if local_shards:
+        # memory-reduction mode (the point of LocalShardedDataIterator,
+        # reference ddp_iterators.py:132-146): geometry comes from the
+        # full line count, then each process parses ONLY its own slice.
+        # The reference factory full-loaded every dataset and never
+        # invoked the local load — every shard then iterated the same
+        # head slice of one shared permutation (implement as intended).
+        sharded = []
+        for ds in datasets:
+            it = LocalShardedDataIterator(
+                ds, shard_id=shard_id, num_shards=num_shards,
+                batch_size=batch_size, shuffle=shuffle,
+                shuffle_seed=shuffle_seed, offset=offset,
+                total=ds.calc_total_data_len())
+            if is_train_set:
+                it.load_data(require_positive, require_hard_negative)
+            else:
+                it.load_data(require_positive=False,
+                             require_hard_negative=False)
+            sharded.append(it)
+    else:
+        for i in load_order:
+            ds = datasets[int(i)]
+            if is_train_set:
+                ds.load_data(require_positive, require_hard_negative)
+            else:
+                ds.load_data()
+        sharded = [ShardedDataIterator(
+            ds, shard_id=shard_id, num_shards=num_shards,
+            batch_size=batch_size, shuffle=shuffle,
+            shuffle_seed=shuffle_seed, offset=offset)
+            for ds in datasets]
+    # eval: every dataset iterates fully (the reference passed the
+    # literal [1], which zip-truncated the quota list to ONE dataset)
     return MultiSetDataIterator(
         sharded, shuffle_seed, shuffle,
-        sampling_rates=sampling_rates if is_train_set else [1],
+        sampling_rates=sampling_rates if is_train_set else None,
         rank=rank, offset=offset)

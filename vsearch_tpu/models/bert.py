@@ -96,7 +96,20 @@ class BertSelfAttention(nn.Module):
         q, k, v = (t.reshape(shape) for t in (q, k, v))
         # mask: [B, L] -> broadcastable bool [B, 1, 1, L]
         mask = attention_mask[:, None, None, :].astype(jnp.bool_)
-        ctx = jax.nn.dot_product_attention(q, k, v, mask=mask)
+        if deterministic or cfg.attention_probs_dropout_prob == 0.0:
+            ctx = jax.nn.dot_product_attention(q, k, v, mask=mask)
+        else:
+            # training path with attention-probability dropout (the
+            # fused kernel has no dropout hook; BERT regularizes the
+            # probs — reference torch BertSelfAttention semantics)
+            scores = jnp.einsum("blhd,bmhd->bhlm", q, k).astype(
+                jnp.float32) / jnp.sqrt(float(head_dim))
+            scores = jnp.where(mask, scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
+                probs, deterministic=False)
+            ctx = jnp.einsum("bhlm,bmhd->blhd",
+                             probs.astype(v.dtype), v)
         ctx = ctx.reshape(b, l, cfg.hidden_size)
         out = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="output")(ctx)
         out = nn.Dropout(cfg.hidden_dropout_prob)(

@@ -112,14 +112,23 @@ class TextEncoderBase:
         max_len = max_len or self.config.max_len
         if isinstance(texts, str):
             texts = [texts]
+        if not texts:
+            raise ValueError("cannot encode an empty list of texts")
         id_lists = self.tokenizer.encode_batch(texts, max_length=max_len)
         longest = max(len(ids) for ids in id_lists)
         bucket = pick_bucket(longest, length_buckets(max_len))
         n = len(texts)
-        ids = np.zeros((n, bucket), dtype=np.int32)
+        # pad positions hold the real pad id (compat_pad_pooling pools
+        # them, and BERT's pad embedding is what the reference pools)
+        ids = np.full((n, bucket), self.tokenizer.pad_id,
+                      dtype=np.int32)
+        # length-derived mask, NOT (ids != pad_id): that would both
+        # mask a legitimate [PAD] literal mid-text and break for
+        # tokenizers whose pad id is nonzero
+        attn = np.zeros((n, bucket), dtype=np.int32)
         for i, row in enumerate(id_lists):
             ids[i, : len(row)] = row
-        attn = (ids != self.tokenizer.pad_id).astype(np.int32)
+            attn[i, : len(row)] = 1
         return {
             "input_ids": ids,
             "token_type_ids": np.zeros_like(ids),

@@ -342,8 +342,16 @@ class VDREncoder(TextEncoderBase):
         if isinstance(texts, str):
             texts = [texts]
         max_len = max_len or self.config.max_len
-        topk = topk or self.config.topk
+        if topk is None:
+            # `or` would also swallow an explicit topk=0; 0 has no
+            # meaning here (indexing needs weighted dims), so reject
+            topk = self.config.topk
+        if topk <= 0:
+            raise ValueError(
+                "embed_sparse needs topk >= 1 (use embed(topk=0) for "
+                "lexical-only dense masks)")
         cfg = self.config
+        topk = min(topk, cfg.out_dim)  # lax.top_k rejects k > dim
         k_out = min(topk + (max_len if activate_lexical else 0),
                     cfg.out_dim)
 

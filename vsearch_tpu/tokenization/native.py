@@ -162,8 +162,16 @@ class NativeWordPieceTokenizer:
         self.vocab = vocab
         self.ids_to_tokens = {i: t for t, i in vocab.items()}
         self.nthreads = nthreads or min(os.cpu_count() or 1, 16)
-        ordered = sorted(vocab.items(), key=lambda kv: kv[1])
-        blob = "\n".join(tok for tok, _ in ordered).encode("utf-8")
+        # the C++ core numbers tokens by their LINE position, so the
+        # blob must be dense over [0, max_id]: a gapped vocab (e.g. a
+        # vocab.txt with blank lines skipped by the loader) would
+        # otherwise renumber every token after the gap and silently
+        # disagree with self.vocab. Gaps get unmatchable placeholders
+        # (\x00 cannot appear in wordpiece input).
+        max_id = max(vocab.values()) if vocab else -1
+        by_id = {i: t for t, i in vocab.items()}
+        blob = "\n".join(by_id.get(i, f"\x00gap{i}")
+                         for i in range(max_id + 1)).encode("utf-8")
         self._handle = ctypes.c_void_p(_lib().wp_create(blob, len(blob)))
         flags, fkeys, foff, fdata = _unicode_tables()
         _lib().wp_set_tables(
@@ -178,13 +186,9 @@ class NativeWordPieceTokenizer:
 
     @classmethod
     def from_vocab_file(cls, path: str, **kw) -> "NativeWordPieceTokenizer":
-        vocab = {}
-        with open(path, encoding="utf-8") as f:
-            for i, line in enumerate(f):
-                tok = line.rstrip("\n")
-                if tok:
-                    vocab[tok] = i
-        return cls(vocab, **kw)
+        from .wordpiece import load_vocab
+
+        return cls(load_vocab(path), **kw)
 
     def __del__(self):
         try:
@@ -246,7 +250,11 @@ class NativeWordPieceTokenizer:
 
     # -- misc (parity with python tokenizer) -------------------------------
     def tokenize(self, text: str) -> List[str]:
-        ids = self.encode(text, max_length=1 << 30,
+        # a wordpiece token consumes >= 1 input character, so
+        # len(text) bounds the token count — a huge fixed max_length
+        # here would allocate (and the C++ pad loop would dirty) the
+        # whole [1, max_length] buffer per call
+        ids = self.encode(text, max_length=max(len(text) + 2, 16),
                           add_special_tokens=False)
         return [self.ids_to_tokens.get(i, "[UNK]") for i in ids]
 

@@ -47,6 +47,20 @@ def _is_cjk(cp: int) -> bool:
             or (0xF900 <= cp <= 0xFAFF) or (0x2F800 <= cp <= 0x2FA1F))
 
 
+def load_vocab(path: str) -> dict:
+    """vocab.txt -> {token: line_number}. Blank lines keep their line
+    number as an id gap (HF semantics keep positions; consumers must
+    tolerate gapped ids). Shared by the pure-Python and C++ tokenizers
+    so the loading semantics cannot drift."""
+    vocab = {}
+    with open(path, encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            tok = line.rstrip("\n")
+            if tok:
+                vocab[tok] = i
+    return vocab
+
+
 class WordPieceTokenizer:
     """BERT-uncased-compatible tokenizer over a vocab.txt word list."""
 
@@ -78,13 +92,7 @@ class WordPieceTokenizer:
     # -- construction ------------------------------------------------------
     @classmethod
     def from_vocab_file(cls, path: str, **kw) -> "WordPieceTokenizer":
-        vocab = {}
-        with open(path, encoding="utf-8") as f:
-            for i, line in enumerate(f):
-                tok = line.rstrip("\n")
-                if tok:
-                    vocab[tok] = i
-        return cls(vocab, **kw)
+        return cls(load_vocab(path), **kw)
 
     @property
     def vocab_size(self) -> int:
