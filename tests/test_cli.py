@@ -280,3 +280,26 @@ def test_serve_rerank_budget_rejected_on_bitpack_bot(workdir,
                           "--rerank_budget", "65536"])
     with pytest.raises(SystemExit):
         prepare_retriever(args, ap)
+
+
+def test_eval_misaligned_files_rejected():
+    """Misaligned result/qa files must error, not silently truncate
+    the zip and report a wrong accuracy (review finding, round 3)."""
+    from vsearch_tpu.cli.score.eval_wiki21m import evaluate
+
+    results = [{"question": "a", "ids": [0], "scores": [1.0]}]
+    qa = [("a", ["x"]), ("b", ["y"])]
+    with pytest.raises(ValueError, match="misaligned"):
+        evaluate(results, ["passage"], qa)
+
+
+def test_read_queries_rejects_missing_field(tmp_path):
+    """A jsonl query object without question/query/text must fail at
+    READ time with the offending line, not deep inside the tokenizer
+    (review finding, round 3)."""
+    from vsearch_tpu.cli.common import read_queries
+
+    p = tmp_path / "q.jsonl"
+    p.write_text('{"_id": "q1", "query_text": "oops"}\n')
+    with pytest.raises(ValueError, match="question/query/text"):
+        read_queries(str(p))

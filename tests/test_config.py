@@ -2,6 +2,8 @@
 conf/ tree."""
 import os
 
+import pytest
+
 from vsearch_tpu.config import load_config
 
 ROOT = os.path.join(os.path.dirname(__file__), "..", "conf",
@@ -54,3 +56,21 @@ def test_all_conf_files_parse():
     for f in files:
         with open(f) as fh:
             yaml.safe_load(fh)
+
+
+def test_override_unknown_group_rejected(tmp_path):
+    """A typo'd top-level override group must error instead of being
+    silently dropped into an unused subtree (review finding, round 3;
+    hydra parity)."""
+    import yaml
+
+    from vsearch_tpu.config import load_config
+
+    root = tmp_path / "root.yaml"
+    root.write_text(yaml.safe_dump({"train": {"batch_size": 8},
+                                    "mesh": None}))
+    with pytest.raises(KeyError, match="trian"):
+        load_config(str(root), ["trian.batch_size=16"])
+    # null intermediate nodes accept dotted overrides
+    cfg = load_config(str(root), ["mesh.dp=4"])
+    assert cfg["mesh"]["dp"] == 4

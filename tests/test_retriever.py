@@ -284,3 +284,77 @@ def test_embed_topk_clamped_to_out_dim(retriever):
     retriever.encoder_q.embed(["green tea"],
                               topk=retriever.encoder_q.config.out_dim)
     assert len(retriever.encoder_q._fn_cache) == n_before
+
+
+def test_dpr_retrieve_with_string_queries():
+    """DPR configs have no .topk; retrieve() with string queries must
+    not crash on it (review finding, round 3 — broke the whole dense
+    DPR search/serve path)."""
+    from tests.helpers import make_tokenizer, tiny_bert_config
+
+    tok = make_tokenizer()
+    enc = {
+        "type": "dpr", "max_len": 32,
+        **{k: v for k, v in vars(tiny_bert_config(tok.vocab_size)).items()
+           if k in ("vocab_size", "hidden_size", "num_hidden_layers",
+                    "num_attention_heads", "intermediate_size",
+                    "max_position_embeddings")},
+    }
+    cfg = RetrieverConfig(encoder_q=dict(enc), encoder_p=dict(enc),
+                          shared_encoder=True)
+    r = Retriever(cfg, tokenizer=tok)
+    r.build_index(CORPUS, index_type="dense", batch_size=4)
+    res = r.retrieve(["who wrote the theory of relativity"], k=2)
+    assert np.asarray(res.ids).shape == (1, 2)
+
+
+def test_beta_rerank_embeds_title_joined_text():
+    """The rerank stage must re-embed the SAME string the index was
+    built from — 'title [SEP] text' for dict corpora (review finding,
+    round 3)."""
+    from vsearch_tpu.retriever import _passage_embed_text
+
+    assert _passage_embed_text(
+        {"text": "body", "title": "head"}) == "head [SEP] body"
+    assert _passage_embed_text({"text": "body", "title": ""}) == "body"
+    assert _passage_embed_text({"contents": "body"}) == "body"
+    assert _passage_embed_text("plain") == "plain"
+
+
+def test_retrieve_negatives_seed_covers_dropout(retriever):
+    """With ret_dropout > 0 the seed must make mining reproducible —
+    the dropout rng previously fell back to OS entropy (review
+    finding, round 3)."""
+    retriever.build_index(CORPUS, index_type="bag_of_token",
+                          batch_size=4)
+    kw = dict(answers=[["einstein"]], ret_neg_num=2, ret_dropout=0.3,
+              seed=7)
+    n1 = retriever.retrieve_negatives(["who wrote relativity"], **kw)
+    n2 = retriever.retrieve_negatives(["who wrote relativity"], **kw)
+    assert n1 == n2
+
+
+def test_save_pretrained_preserves_vocab_id_gaps(tmp_path):
+    """vocab.txt must be written by line position with gaps kept as
+    blank lines — compaction renumbered every token after a gap on
+    reload (review finding, round 3)."""
+    from tests.helpers import make_tokenizer, tiny_bert_config
+    from vsearch_tpu.tokenization.wordpiece import load_vocab
+
+    tok = make_tokenizer()
+    last = max(tok.vocab, key=tok.vocab.get)
+    tok.vocab[last] = tok.vocab[last] + 2  # open a gap
+    enc = {
+        "type": "vdr", "max_len": 16, "topk": 8, "shift_vocab_num": 5,
+        **{k: v for k, v in vars(tiny_bert_config(
+            max(tok.vocab.values()) + 1)).items()
+           if k in ("vocab_size", "hidden_size", "num_hidden_layers",
+                    "num_attention_heads", "intermediate_size",
+                    "max_position_embeddings")},
+    }
+    cfg = RetrieverConfig(encoder_q=dict(enc), encoder_p=dict(enc),
+                          shared_encoder=True)
+    r = Retriever(cfg, tokenizer=tok)
+    r.save_pretrained(str(tmp_path / "ckpt"))
+    reloaded = load_vocab(str(tmp_path / "ckpt" / "vocab.txt"))
+    assert reloaded == tok.vocab

@@ -33,10 +33,11 @@ def join_corpus(corpus) -> List[str]:
         if isinstance(p, str):
             processed.append(p)
         elif isinstance(p, dict):
+            body = p.get("text") or p.get("contents") or ""
             if p.get("title"):
-                processed.append(f"{p['title']} [SEP] {p['text']}")
+                processed.append(f"{p['title']} [SEP] {body}")
             else:
-                processed.append(p["text"])
+                processed.append(body)
         else:
             raise TypeError(
                 f"corpus entries must be str or dict, got {type(p)}")
@@ -188,13 +189,19 @@ class BiEncoder:
         with open(os.path.join(path, _NATIVE_CONFIG), "w") as f:
             json.dump({"class": type(self).__name__,
                        "config": self.config.to_dict()}, f, indent=2)
-        # ship the tokenizer vocab so the checkpoint is self-contained
+        # ship the tokenizer vocab so the checkpoint is self-contained.
+        # Write by LINE POSITION = id, keeping id gaps as blank lines:
+        # compacting would renumber every token after a gap on reload
+        # (load_vocab assigns line numbers) and silently desync
+        # tokenization from the saved weights
         vocab = getattr(self.encoder_q.tokenizer, "vocab", None)
         if isinstance(vocab, dict):
-            ordered = sorted(vocab.items(), key=lambda kv: kv[1])
+            by_id = {i: t for t, i in vocab.items()}
+            max_id = max(by_id) if by_id else -1
             with open(os.path.join(path, "vocab.txt"), "w",
                       encoding="utf-8") as f:
-                f.write("\n".join(tok for tok, _ in ordered) + "\n")
+                f.write("\n".join(by_id.get(i, "")
+                                  for i in range(max_id + 1)) + "\n")
         with open(os.path.join(path, "encoder_q.msgpack"), "wb") as f:
             f.write(serialization.to_bytes(self.encoder_q.variables))
         if not self.config.shared_encoder:

@@ -63,7 +63,7 @@ def main(argv=None):
     logger.info("***** Index save to: %s *****", args.save_file)
     logger.info("***** Index matrix shape: (%d, %d) *****", n, v)
     logger.info("***** Index sparsity rate: %.2f%% *****",
-                100.0 * nnz_total / (n * v))
+                100.0 * nnz_total / max(n * v, 1))  # n=0: empty shard
 
 
 if __name__ == "__main__":

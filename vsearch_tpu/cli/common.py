@@ -24,8 +24,14 @@ def setup_logging():
 
 
 def read_jsonl_texts(path: str, text_key: str = "text") -> List[str]:
-    """Read corpus lines: raw strings or json objects with text/title."""
-    texts = []
+    """Read corpus lines: raw strings or json objects with text/title.
+
+    Dict entries join via ``biencoder.join_corpus`` — the single owner
+    of the "title [SEP] text" rule — so CLI-built indexes embed exactly
+    the strings ``Retriever.build_index``/``encode_corpus`` would."""
+    from ..biencoder import join_corpus
+
+    entries = []
     with open(path, encoding="utf-8") as f:
         for line in f:
             line = line.strip()
@@ -34,18 +40,16 @@ def read_jsonl_texts(path: str, text_key: str = "text") -> List[str]:
             try:
                 obj = json.loads(line)
             except json.JSONDecodeError:
-                texts.append(line)
+                entries.append(line)
                 continue
-            if isinstance(obj, str):
-                texts.append(obj)
-            elif isinstance(obj, dict):
-                if obj.get("title"):
-                    texts.append(f"{obj['title']} [SEP] {obj[text_key]}")
-                else:
-                    texts.append(obj[text_key])
+            if isinstance(obj, (str, dict)):
+                if isinstance(obj, dict) and text_key not in ("text",
+                                                              "contents"):
+                    obj = dict(obj, text=obj[text_key])
+                entries.append(obj)
             else:
-                texts.append(str(obj))
-    return texts
+                entries.append(str(obj))
+    return join_corpus(entries)
 
 
 def read_queries(path: str) -> List[str]:
@@ -64,8 +68,15 @@ def read_queries(path: str) -> List[str]:
             if isinstance(obj, str):
                 out.append(obj)
             elif isinstance(obj, dict):
-                out.append(obj.get("question") or obj.get("query")
-                           or obj.get("text"))
+                q = (obj.get("question") or obj.get("query")
+                     or obj.get("text"))
+                if not q:
+                    # a None/empty query would crash deep inside the
+                    # tokenizer far from the offending input line
+                    raise ValueError(
+                        f"query file {path}: object without a "
+                        f"question/query/text field: {line[:120]}")
+                out.append(q)
             else:
                 out.append(str(obj))
     return out

@@ -22,6 +22,11 @@ TOPK_LEVELS = (1, 5, 10, 20, 100)
 def evaluate(results, texts, qa_pairs, topk_levels=TOPK_LEVELS):
     """results: list of {question, ids, scores}; qa_pairs: list of
     (question, answers) aligned with results. Returns {k: accuracy}."""
+    if len(results) != len(qa_pairs):
+        # zip would silently truncate and score a wrong pairing
+        raise ValueError(
+            f"{len(results)} results vs {len(qa_pairs)} qa pairs — "
+            "result_file and qa_file are misaligned")
     hits_at = {k: 0 for k in topk_levels}
     n = 0
     for res, (_, answers) in zip(results, qa_pairs):

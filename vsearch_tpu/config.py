@@ -26,9 +26,21 @@ def _load_yaml(path: str) -> Dict[str, Any]:
 
 def _set_dotted(cfg: Dict[str, Any], key: str, value: Any):
     parts = key.split(".")
+    # hydra-style strictness at the TOP level: a typo'd group
+    # ('trian.batch_size=...') would otherwise create an unused
+    # subtree and the override would be silently dropped
+    if len(parts) > 1 and parts[0] not in cfg:
+        raise KeyError(
+            f"override {key!r}: unknown config group {parts[0]!r} "
+            f"(known: {sorted(cfg)})")
     node = cfg
     for p in parts[:-1]:
-        node = node.setdefault(p, {})
+        nxt = node.get(p)
+        if not isinstance(nxt, dict):
+            # e.g. 'mesh: null' in the root yaml + 'mesh.dp=4'
+            nxt = {}
+            node[p] = nxt
+        node = nxt
     node[parts[-1]] = value
 
 

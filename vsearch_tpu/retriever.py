@@ -68,7 +68,10 @@ class Retriever(BiEncoder):
                       a: Optional[int] = None, batch_size: int = 32,
                       rng: Optional[np.random.Generator] = None
                       ) -> np.ndarray:
-        num_activation = a if a is not None else self.encoder_q.config.topk
+        # DPR configs have no topk (dense embeddings aren't sparsified)
+        num_activation = (a if a is not None
+                          else getattr(self.encoder_q.config, "topk",
+                                       None))
         if isinstance(queries, str):
             q_emb = self.encoder_q.embed([queries], batch_size=batch_size,
                                          topk=num_activation)
@@ -87,14 +90,15 @@ class Retriever(BiEncoder):
     # -- retrieval (reference retriever.py:107-148) ------------------------
     def retrieve(self, queries, k: int = 5, dropout: float = 0.0,
                  a: Optional[int] = None, index=None, rerank: bool = False,
-                 batch_size: int = 32) -> SearchResults:
+                 batch_size: int = 32, rng=None) -> SearchResults:
         """Top-k retrieval; ``rerank=True`` runs beta search on a
         bag-of-token index: first-stage binary-index hits are re-embedded
-        on the fly and re-scored parametrically."""
+        on the fly and re-scored parametrically. ``rng`` (a numpy
+        Generator) makes query ``dropout`` reproducible."""
         index = index if index is not None else self.index
         assert index is not None, "no index attached"
         q_emb = self.process_query(queries, dropout, a,
-                                   batch_size=batch_size)
+                                   batch_size=batch_size, rng=rng)
         results = index.search(q_emb, k=k)
         if rerank and index.index_type == IndexType.BAG_OF_TOKEN:
             results = self._beta_rerank(q_emb, results, index, k,
@@ -118,7 +122,7 @@ class Retriever(BiEncoder):
         # every distinct passage once and gather per (query, slot)
         uniq_ids, inverse = np.unique(ret_ids.reshape(-1),
                                       return_inverse=True)
-        ret_texts = [_passage_text(index.get_sample(int(i)))
+        ret_texts = [_passage_embed_text(index.get_sample(int(i)))
                      for i in uniq_ids]
         # length-sort the unique candidates so each embed batch lands in
         # the smallest length bucket (word count ~ token count); the
@@ -177,8 +181,12 @@ class Retriever(BiEncoder):
             # them into an np.str_ array that the embedding branch
             # then tries to cast to float)
             q_emb = np.asarray(q_emb)
-        results = self.retrieve(q_emb, a=768, k=ret_topk,
-                                dropout=ret_dropout, index=index)
+        # the seed covers BOTH the sampling below and the query-dropout
+        # rng: otherwise mining with ret_dropout > 0 was irreproducible
+        # despite a fixed seed
+        results = self.retrieve(
+            q_emb, a=768, k=ret_topk, dropout=ret_dropout, index=index,
+            rng=np.random.default_rng(seed) if seed is not None else None)
         rnd = pyrandom.Random(seed)
         batch_neg_texts: List[List[str]] = []
         for sample_id, sample_ret in enumerate(np.asarray(results.ids)):
@@ -362,3 +370,13 @@ def _passage_text(sample: Any) -> str:
     if isinstance(sample, dict):
         return sample.get("text") or sample.get("contents") or ""
     return str(sample)
+
+
+def _passage_embed_text(sample: Any) -> str:
+    """The string the INDEX embedded for this record: dict corpora are
+    built via join_corpus ("title [SEP] text"), so the beta-rerank
+    stage must re-embed the SAME string — text-only would mis-score
+    candidates whose title carries the matching terms."""
+    if isinstance(sample, dict) and sample.get("title"):
+        return f"{sample['title']} [SEP] {_passage_text(sample)}"
+    return _passage_text(sample)

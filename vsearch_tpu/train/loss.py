@@ -78,6 +78,16 @@ def _loss_fn(cfg: VDRLossConfig):
     if cfg.sym_loss:
         return lambda q, p: symmetry_biencoder_nll_loss(
             q, p, temperature=cfg.temperature, scaled_loss=cfg.scaled_loss)
+    if cfg.temperature != 1.0 or cfg.scaled_loss:
+        # reference parity: the asymmetric NLL has no temperature or
+        # loss scaling (loss_utils.py:302-340) — warn instead of
+        # silently training a different model than the config claims
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "temperature=%s / scaled_loss=%s apply only with "
+            "sym_loss=true; the asymmetric NLL ignores them",
+            cfg.temperature, cfg.scaled_loss)
     return biencoder_nll_loss
 
 
