@@ -89,6 +89,34 @@ def get_bench_tokenizer():
         return WordPieceTokenizer(vocab), "python"
 
 
+def _require_device(timeout_s: int = 600):
+    """Fail FAST with one explanatory JSON line if the TPU cannot be
+    acquired: the axon claim protocol blocks ``jax.devices()`` forever
+    (silently, no error) while another process — e.g. a leftover serve
+    from an earlier session — holds the single chip. A hang here would
+    stall the whole bench harness instead."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+
+        ok.append(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok:
+        print(json.dumps({
+            "metric": "bench_error", "value": 0.0, "unit": "error",
+            "vs_baseline": 0.0,
+            "error": f"no device within {timeout_s}s — the TPU claim "
+                     "is likely held by another process (kill stale "
+                     "python processes and rerun)"}), flush=True)
+        sys.exit(2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-passages", type=int, default=200_000)
@@ -103,6 +131,7 @@ def main():
                          "(TPU only; 0 disables)")
     args = ap.parse_args()
 
+    _require_device()
     corpus = make_corpus(args.num_passages)
     tokenizer, tok_kind = get_bench_tokenizer()
 
