@@ -374,6 +374,7 @@ struct WordMemo {
 
 struct Scratch {
   std::string norm;
+  std::string lower;
   std::vector<std::pair<uint32_t, uint32_t>> words;
   std::vector<int32_t> ids;
   std::vector<int32_t> row;
@@ -386,24 +387,67 @@ struct Scratch {
 // any wordpiece overshoot).
 void tokenize_ids(const Vocab& v, const char* s, size_t len, int32_t cap,
                   std::vector<int32_t>& ids, Scratch& sc) {
-  auto emit_segment = [&](size_t lo, size_t hi) {
-    if (lo >= hi) return;
+  // memo-and-append: key is the (raw or normalized) word; when the key
+  // may carry uppercase ASCII (raw fast path) the pieces are computed
+  // from a lowercased copy, matching what normalization would emit
+  auto append_memo = [&](std::string_view w, bool needs_lower) {
+    auto& e = sc.memo.slot(w);
+    if (!e.used || e.word != w) {
+      e.word.assign(w.data(), w.size());
+      e.ids.clear();
+      if (needs_lower) {
+        sc.lower.assign(w.data(), w.size());
+        for (char& ch : sc.lower)
+          if (ch >= 'A' && ch <= 'Z') ch += 32;
+        wordpiece(v, std::string_view(sc.lower), e.ids);
+      } else {
+        wordpiece(v, std::string_view(e.word), e.ids);
+      }
+      e.used = true;
+    }
+    for (int32_t id : e.ids) {
+      if (static_cast<int32_t>(ids.size()) >= cap) return;
+      ids.push_back(id);
+    }
+  };
+
+  auto emit_words = [&](size_t lo, size_t hi) {
     basic_tokenize(v, s + lo, hi - lo, sc.norm, sc.words);
     for (const auto& [off, wlen] : sc.words) {
       if (static_cast<int32_t>(ids.size()) >= cap) return;
-      std::string_view w = std::string_view(sc.norm).substr(off, wlen);
-      auto& e = sc.memo.slot(w);
-      if (!e.used || e.word != w) {
-        e.word.assign(w.data(), w.size());
-        e.ids.clear();
-        wordpiece(v, std::string_view(e.word), e.ids);
-        e.used = true;
+      append_memo(std::string_view(sc.norm).substr(off, wlen), false);
+    }
+  };
+
+  auto emit_segment = [&](size_t lo, size_t hi) {
+    if (lo >= hi) return;
+    // raw fast path: chunks split at ASCII whitespace that contain
+    // only [A-Za-z0-9] normalize to lowercase(chunk) with no further
+    // splitting/removal — memo them directly, skipping the per-char
+    // normalization walk entirely (most words of natural text)
+    size_t cs = lo;
+    bool simple = true;
+    auto flush = [&](size_t ce) {
+      if (cs < ce) {
+        if (simple)
+          append_memo(std::string_view(s + cs, ce - cs), true);
+        else
+          emit_words(cs, ce);
       }
-      for (int32_t id : e.ids) {
-        if (static_cast<int32_t>(ids.size()) >= cap) return;
-        ids.push_back(id);
+      simple = true;
+    };
+    for (size_t i = lo; i < hi; i++) {
+      if (static_cast<int32_t>(ids.size()) >= cap) return;
+      uint8_t b = static_cast<uint8_t>(s[i]);
+      if (b == ' ' || b == '\t' || b == '\n' || b == '\r') {
+        flush(i);
+        cs = i + 1;
+      } else if (!((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+                   (b >= '0' && b <= '9'))) {
+        simple = false;
       }
     }
+    flush(hi);
   };
   size_t seg = 0;
   if (!v.specials.empty()) {

@@ -148,8 +148,18 @@ def _lib():
 
 
 def _pack_texts(texts: Sequence[str]) -> Tuple[bytes, np.ndarray]:
+    # ASCII fast path: one join+encode instead of N encode calls.
+    # utf-8 length equals char length iff every char is ASCII, so the
+    # byte-count check is an exact all-ASCII test and char-based
+    # offsets are then byte-correct.
+    char_lens = np.fromiter(map(len, texts), dtype=np.int64,
+                            count=len(texts))
+    blob = "".join(texts).encode("utf-8")
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    if len(blob) == int(char_lens.sum()):
+        np.cumsum(char_lens, out=offsets[1:])
+        return blob, offsets
     encoded = [t.encode("utf-8") for t in texts]
-    offsets = np.zeros(len(encoded) + 1, dtype=np.int64)
     np.cumsum([len(e) for e in encoded], out=offsets[1:])
     return b"".join(encoded), offsets
 
