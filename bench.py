@@ -139,10 +139,11 @@ def main():
     from vsearch_tpu.index import BoTIndex
     from vsearch_tpu.index.bot_build import build_bot_ell
 
-    # two passes, keep the faster (this host's single core sees heavy
-    # scheduling noise; the build itself is deterministic)
+    # three passes, keep the fastest (this host's single core sees
+    # heavy scheduling noise — observed 0.9-1.9 s spread on identical
+    # work; the build itself is deterministic)
     build_s = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         ell, cols_np, nnz_np = build_bot_ell(
             tokenizer, corpus, max_len=128, shift=999,
