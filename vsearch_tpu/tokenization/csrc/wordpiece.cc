@@ -489,25 +489,28 @@ void tokenize_ids(const Vocab& v, const char* s, size_t len, int32_t cap,
   };
   size_t seg = 0;
   if (!v.specials.empty()) {
+    // every registered special starts with '[' — find candidates with
+    // SIMD memchr instead of walking every byte (texts rarely contain
+    // '[' at all, so this scan is ~free)
     size_t i = 0;
     while (i < len && static_cast<int32_t>(ids.size()) < cap) {
-      if (s[i] == '[') {
-        bool matched = false;
-        for (const auto& [tok, id] : v.specials) {
-          if (i + tok.size() <= len &&
-              std::memcmp(s + i, tok.data(), tok.size()) == 0) {
-            emit_segment(seg, i);
-            if (static_cast<int32_t>(ids.size()) < cap)
-              ids.push_back(id);
-            i += tok.size();
-            seg = i;
-            matched = true;
-            break;
-          }
+      const void* hit = std::memchr(s + i, '[', len - i);
+      if (hit == nullptr) break;
+      i = static_cast<size_t>(static_cast<const char*>(hit) - s);
+      bool matched = false;
+      for (const auto& [tok, id] : v.specials) {
+        if (i + tok.size() <= len &&
+            std::memcmp(s + i, tok.data(), tok.size()) == 0) {
+          emit_segment(seg, i);
+          if (static_cast<int32_t>(ids.size()) < cap)
+            ids.push_back(id);
+          i += tok.size();
+          seg = i;
+          matched = true;
+          break;
         }
-        if (matched) continue;
       }
-      i++;
+      if (!matched) i++;
     }
   }
   if (static_cast<int32_t>(ids.size()) < cap) emit_segment(seg, len);
