@@ -154,3 +154,36 @@ def test_native_tokenize_no_giant_buffer(native_tok):
 
     text = "green tea einstein " * 500
     assert native_tok.tokenize(text) == make_tokenizer().tokenize(text)
+
+
+def test_native_fuzz_parity_with_python(native_tok):
+    """Seeded fuzz: the C++ tokenizer must match the pure-python one
+    id-for-id on adversarial mixed content -- ASCII words (fast path),
+    unicode, punctuation runs, literal specials, digits, case, long
+    words, odd whitespace. Guards the raw-ASCII/memo/memchr fast
+    paths added in round 3."""
+    import random
+
+    from tests.helpers import make_tokenizer
+
+    py = make_tokenizer()
+    rng = random.Random(1234)
+    pieces = [
+        "tea", "Tea", "TEA", "relativity", "word01234", "a", "I",
+        "runs", "running", "teaing", "x" * 120, "42", "3.14", "e=mc2",
+        "[SEP]", "[CLS]", "[PAD]", "[UNK]", "[MASK]", "[sep]", "[foo]",
+        "Gr\u00eben", "t\u00e8a", "\u6f22\u5b57", "\u4e2d\u6587",
+        "na\u00efve", "\u00c5ngstr\u00f6m",
+        "...", "!!!", "?!.", "-", "--", "a-b", "a.b.c", "it's",
+        '"quoted"', "(paren)", "semi;colon", "", " ", "\u00a0",
+        "\u2003", "\u200b", "word\u0000null", "\U0001f642",
+        "h\u00e9llo",
+    ]
+    for trial in range(200):
+        n = rng.randrange(1, 12)
+        sep = rng.choice([" ", "  ", " \t ", "\n"])
+        text = sep.join(rng.choice(pieces) for _ in range(n))
+        for ml in (8, 32, 128):
+            a = native_tok.encode(text, max_length=ml)
+            b = py.encode(text, max_length=ml)
+            assert a == b, (trial, ml, repr(text), a, b)
