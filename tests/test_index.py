@@ -368,3 +368,20 @@ def test_dense_reload_after_to_mesh_resets_sharding(rng):
     assert idx._mesh is None and idx._true_rows is None
     res = idx.search(rng.normal(size=(2, 16)).astype(np.float32), k=3)
     assert (np.asarray(res.ids) < 12).all()
+
+
+def test_bot_from_dense_stays_binary(tmp_path, rng):
+    """BoTIndex.set_vectors(dense) must produce a valueless ELL:
+    stored vals would re-classify the saved index as real-valued
+    sparse on reload and silently disable beta rerank (review finding,
+    round 3)."""
+    from vsearch_tpu.retriever import Retriever
+
+    mat = (rng.random((12, 64)) < 0.3).astype(np.float32)
+    idx = BoTIndex()
+    idx.set_vectors(mat)  # dense ndarray path
+    assert idx.ell.vals is None and idx.ell.is_binary
+    p = str(tmp_path / "dense_bot.ell.npz")
+    idx.save(p)
+    with np.load(p) as z:
+        assert "vals" not in z.files

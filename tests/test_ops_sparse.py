@@ -90,3 +90,15 @@ def test_ops_jit_compile(rng):
     out = f(x)
     assert out.shape == x.shape
     assert ((np.asarray(out) != 0).sum(-1) <= 16).all()
+
+
+def test_build_topk_mask_clamps_oversized_k(rng):
+    """k > dim clamps in the shared helper instead of crashing every
+    call site individually (review finding, round 3)."""
+    import jax.numpy as jnp
+
+    from vsearch_tpu.ops.sparse import build_topk_mask
+
+    x = jnp.asarray(rng.normal(size=(3, 10)).astype(np.float32))
+    m = build_topk_mask(x, k=50)
+    assert m.shape == (3, 10) and bool(m.all())

@@ -415,3 +415,56 @@ def test_embed_endpoint_validates_requests():
         svc.embed([])
     out = svc.embed("green tea", sparse=False)
     assert len(out["embeddings"]) == 1
+
+
+def test_search_rejects_zero_k():
+    """An explicit k=0 must not silently become default_k (review
+    finding, round 3)."""
+    from vsearch_tpu.serve import RetrieverService
+
+    class FakeRetriever:
+        index = None
+
+        def retrieve(self, queries, k, rerank=False):
+            import numpy as _np
+
+            return type("R", (), {"ids": _np.zeros((len(queries), k),
+                                                   int),
+                                  "scores": _np.zeros((len(queries),
+                                                       k))})()
+
+    svc = RetrieverService(FakeRetriever(), coalesce=False)
+    with pytest.raises(ValueError, match="k must be"):
+        svc.search(["q"], k=0)
+
+
+def test_coalescer_groups_by_query_kind():
+    """String and embedding-vector queries must not merge into one
+    device call (the backend branches on element type) — both kinds
+    must still succeed concurrently (review finding, round 3)."""
+    import numpy as np
+
+    from vsearch_tpu.serve import SearchCoalescer
+
+    calls = []
+
+    def backend(queries, k, rerank, n_real=None):
+        kinds = {type(q).__name__ for q in queries}
+        assert len(kinds) == 1, f"mixed kinds in one call: {kinds}"
+        calls.append(sorted(kinds))
+        n = len(queries)
+        return np.zeros((n, k), int), np.zeros((n, k))
+
+    co = SearchCoalescer(backend)
+    out = []
+    ts = []
+    for payload in (["text one"], [[0.1, 0.2]], ["text two"]):
+        t = threading.Thread(
+            target=lambda p=payload: out.append(
+                co.submit(p, k=2, rerank=False)))
+        t.start()
+        ts.append(t)
+    for t in ts:
+        t.join(30)
+    assert len(out) == 3
+    assert all(len(k) == 1 for k in calls)

@@ -131,3 +131,33 @@ def test_tight_rerank_budget_keeps_exact_scores(ell_and_q):
     # scores must be the exact weighted scores OF THE RETURNED ids
     # (recall may be poor at C=k — that's the operator's trade)
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-2)
+
+
+def test_sketch_ell_chunked_matches_unchunked(ell_and_q):
+    """Row-chunked sketch accumulation (OOM guard for multi-million-row
+    indexes) must be numerically identical to one-shot (review
+    finding, round 3)."""
+    from vsearch_tpu.ops.sketch import make_projection, sketch_ell
+
+    ell, mat, q = ell_and_q
+    R = make_projection(ell.num_cols, d=64, seed=3)
+    a = np.asarray(sketch_ell(ell, R, chunk_rows=1 << 20),
+                   np.float32)
+    b = np.asarray(sketch_ell(ell, R, chunk_rows=512), np.float32)
+    np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-2)
+
+
+def test_binary_proxy_capacity_uses_true_rows(ell_and_q):
+    """Candidate capacity must come from the TRUE row count, not the
+    kernel-padded one — a small index padded to 1024 rows previously
+    slipped k>rows candidates into top_k (review finding, round 3)."""
+    from vsearch_tpu.ops.bitpack import pack_ell
+    from vsearch_tpu.ops.sketch import binary_proxy_search
+
+    ell, mat, q = ell_and_q  # 2000 true rows, pads to a ROW_BLOCK multiple
+    import jax.numpy as jnp
+    bm = pack_ell(ell)
+    ids, scores = binary_proxy_search(jnp.asarray(q[:2]), ell, bm,
+                                      k=60, num_candidates=1800)
+    assert ids.shape == (2, 60)
+    assert (np.asarray(ids) < 2000).all()

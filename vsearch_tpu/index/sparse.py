@@ -167,7 +167,8 @@ class SparseIndex(DenseIndex):
         if sp.issparse(mat):
             self.ell = ELLMatrix.from_scipy_csr(mat, binary=self._binary)
         else:
-            self.ell = ELLMatrix.from_dense(np.asarray(mat))
+            self.ell = ELLMatrix.from_dense(np.asarray(mat),
+                                            binary=self._binary)
         self._reset_derived()
 
     @property

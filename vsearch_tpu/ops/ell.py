@@ -78,8 +78,14 @@ class ELLMatrix:
     # -- conversion --------------------------------------------------------
     @classmethod
     def from_dense(cls, dense, nnz_pad: Optional[int] = None,
-                   val_dtype=None) -> "ELLMatrix":
-        """Build from a dense [N, V] array (host-side, numpy)."""
+                   val_dtype=None, binary: bool = False) -> "ELLMatrix":
+        """Build from a dense [N, V] array (host-side, numpy).
+
+        ``binary=True`` stores no vals (implicit 1.0 weights) — REQUIRED
+        for bag-of-token indexes: a vals array would re-classify the
+        saved index as real-valued sparse on reload
+        (retriever.load_index infers BoT from the absence of vals).
+        """
         dense = np.asarray(dense)
         n, v = dense.shape
         counts = (dense != 0).sum(axis=1).astype(np.int32)
@@ -98,6 +104,9 @@ class ELLMatrix:
             starts[1:] = np.cumsum(counts[:-1], dtype=np.int64)
         offs = np.arange(rows_nz.size, dtype=np.int64) - starts[rows_nz]
         cols[rows_nz, offs] = cols_nz
+        if binary:
+            return cls(cols=jnp.asarray(cols), nnz=jnp.asarray(counts),
+                       vals=None, num_cols=v, sentinel_padded=True)
         vals[rows_nz, offs] = dense[rows_nz, cols_nz]
         return cls(cols=jnp.asarray(cols), nnz=jnp.asarray(counts),
                    vals=jnp.asarray(vals), num_cols=v,

@@ -37,11 +37,16 @@ def make_projection(num_cols: int, d: int = 512, seed: int = 42,
 
 
 def sketch_ell(ell: ELLMatrix, R: jax.Array,
-               dtype=jnp.bfloat16) -> jax.Array:
+               dtype=jnp.bfloat16,
+               chunk_rows: int = 65536) -> jax.Array:
     """S[n] = sum_j vals[n, j] * R[cols[n, j]]  -> [N, d].
 
     Row-gathers of contiguous d-vectors (embedding-lookup pattern), which
-    the TPU handles well; runs once at index build.
+    the TPU handles well; runs once at index build. Rows are processed
+    in ``chunk_rows`` blocks via ``lax.map`` so the f32 accumulator
+    peaks at [chunk, d] (~256 MB at d=1024) instead of [N, d] — a
+    21M-row index would otherwise need an 86 GB accumulator, OOMing at
+    exactly the scale the sketch path exists for.
     """
     nnz_pad = ell.nnz_pad
     n = ell.cols.shape[0]
@@ -50,15 +55,37 @@ def sketch_ell(ell: ELLMatrix, R: jax.Array,
     if not ell.sentinel_padded:
         raise ValueError("sketch_ell requires sentinel-padded ELL")
 
-    def body(j, acc):
-        contrib = jnp.take(R, ell.cols[:, j], axis=0)  # [N, d]
-        if ell.vals is not None:
-            contrib = contrib * ell.vals[:, j][:, None]
-        return acc + contrib
+    chunk = min(chunk_rows, max(n, 1))
+    n_pad = -(-n // chunk) * chunk
+    cols = ell.cols
+    vals = ell.vals
+    if n_pad != n:
+        cols = jnp.pad(cols, ((0, n_pad - n), (0, 0)),
+                       constant_values=ell.num_cols)  # sentinel rows
+        if vals is not None:
+            vals = jnp.pad(vals, ((0, n_pad - n), (0, 0)))
+    cols_b = cols.reshape(n_pad // chunk, chunk, nnz_pad)
+    vals_b = (None if vals is None
+              else vals.reshape(n_pad // chunk, chunk, nnz_pad))
 
-    s = jax.lax.fori_loop(0, nnz_pad, body,
-                          jnp.zeros((n, d), R.dtype))
-    return s.astype(dtype)
+    def chunk_fn(args):
+        cols_c = args[0] if vals_b is not None else args
+        vals_c = args[1] if vals_b is not None else None
+
+        def body(j, acc):
+            contrib = jnp.take(R, cols_c[:, j], axis=0)  # [chunk, d]
+            if vals_c is not None:
+                contrib = contrib * vals_c[:, j][:, None]
+            return acc + contrib
+
+        s = jax.lax.fori_loop(0, nnz_pad, body,
+                              jnp.zeros((chunk, d), R.dtype))
+        return s.astype(dtype)
+
+    blocks = jax.lax.map(chunk_fn,
+                         (cols_b, vals_b) if vals_b is not None
+                         else cols_b)
+    return blocks.reshape(n_pad, d)[:n]
 
 
 def project_queries(q: jax.Array, R: jax.Array) -> jax.Array:
@@ -141,7 +168,10 @@ def binary_proxy_search(q: jax.Array, ell: ELLMatrix, bitmat, k: int,
 
     # fused bucketed selection: the [B, N] support-score matrix never
     # reaches HBM; candidate count is capped by the bucket structure
-    capped = min(num_candidates, bitmat.words.shape[0] // BUCKET)
+    # AND the true row count (the padded row count would let a small
+    # index through to a top_k larger than its real rows)
+    capped = min(num_candidates, bitmat.words.shape[0] // BUCKET,
+                 bitmat.num_rows)
     if capped < k:
         # the bucket structure can't yield k distinct candidates
         # (large k on a small/medium index) — fall back to exact

@@ -22,6 +22,9 @@ def build_topk_mask(embs: jax.Array, k: int = 768, axis: int = -1) -> jax.Array:
         embs_moved = jnp.moveaxis(embs, axis, -1)
         mask = build_topk_mask(embs_moved, k=k, axis=-1)
         return jnp.moveaxis(mask, -1, axis)
+    # clamp in the shared helper so every caller (loss sparsify, embed
+    # paths) tolerates k > dim instead of each carrying its own guard
+    k = min(k, embs.shape[-1])
     _, idx = jax.lax.top_k(embs, k)  # [..., k]
     mask = jnp.zeros(embs.shape, dtype=jnp.bool_)
     mask = jnp.put_along_axis(mask, idx, True, axis=-1, inplace=False)

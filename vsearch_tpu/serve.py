@@ -79,13 +79,17 @@ class SearchCoalescer:
         # split into chunks that enqueue as independent items, so
         # traffic arriving behind a giant batch interleaves with its
         # chunks instead of waiting out one huge call
+        # string queries and precomputed embedding vectors cannot share
+        # a device call (process_query branches on the element type), so
+        # the kind joins the group key
+        kind = "str" if isinstance(queries[0], str) else "vec"
         step = self._max_queries
         pending = []
         for start in range(0, len(queries), step):
             done = threading.Event()
             slot: Dict[str, Any] = {}
-            self._q.put((queries[start: start + step], k, rerank, done,
-                         slot))
+            self._q.put((queries[start: start + step], (k, kind), rerank,
+                         done, slot))
             pending.append((done, slot))
         for done, _ in pending:
             done.wait()
@@ -181,7 +185,7 @@ class SearchCoalescer:
             items = self._select(pending)
             chosen = {id(it) for it in items}
             pending = [it for it in pending if id(it) not in chosen]
-            k, rerank = items[0][1], items[0][2]
+            (k, _kind), rerank = items[0][1], items[0][2]
             try:
                 try:
                     self._run_group(items, k, rerank)
@@ -189,7 +193,14 @@ class SearchCoalescer:
                     if len(items) == 1:
                         raise
                     # isolate a poisoned request: retry each alone
-                    # so one bad payload can't fail its co-riders
+                    # so one bad payload can't fail its co-riders.
+                    # Log it — a systematically failing merge (e.g. a
+                    # recompile-crash) would otherwise silently
+                    # serialize every request
+                    logger.warning(
+                        "merged device call of %d requests failed; "
+                        "retrying individually", len(items),
+                        exc_info=True)
                     for it in items:
                         try:
                             self._run_group([it], k, rerank)
@@ -236,6 +247,10 @@ class RetrieverService:
         queries = list(queries)
         if not queries:
             raise ValueError("queries must be a non-empty list")
+        if k is not None and k <= 0:
+            # `k or default` would silently turn an explicit k=0 into
+            # default_k results
+            raise ValueError("k must be >= 1")
         k = k or self.default_k
         if self._coalescer is not None:
             ids, scores = self._coalescer.submit(queries, k,
@@ -294,12 +309,16 @@ def make_handler(service: RetrieverService):
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path == "/healthz":
-                self._reply(200, {"status": "ok"})
-            elif self.path == "/stats":
-                self._reply(200, service.stats())
-            else:
-                self._reply(404, {"error": "not found"})
+            try:
+                if self.path == "/healthz":
+                    self._reply(200, {"status": "ok"})
+                elif self.path == "/stats":
+                    self._reply(200, service.stats())
+                else:
+                    self._reply(404, {"error": "not found"})
+            except Exception as exc:  # keep monitoring endpoints alive
+                logger.exception("GET failed")
+                self._reply(500, {"error": str(exc)})
 
         def do_POST(self):
             try:
@@ -319,9 +338,16 @@ def make_handler(service: RetrieverService):
                     self._reply(200, out)
                 else:
                     self._reply(404, {"error": "not found"})
-            except Exception as exc:  # surface errors as 400s
-                logger.exception("request failed")
+            except (ValueError, KeyError, TypeError) as exc:
+                # malformed payloads are the client's fault
+                logger.exception("bad request")
                 self._reply(400, {"error": str(exc)})
+            except Exception as exc:
+                # server-side faults (no index, device errors) must not
+                # masquerade as client errors — monitoring and client
+                # retry policies key on the status class
+                logger.exception("request failed")
+                self._reply(500, {"error": str(exc)})
 
     return Handler
 

@@ -81,17 +81,29 @@ class StepTimer:
         self.total_items += items
 
     def summary(self) -> Dict[str, float]:
-        if not self.times:
+        # snapshot first: another thread (the serve dispatcher) appends
+        # concurrently, and iterating a deque during mutation raises
+        # RuntimeError — /stats would intermittently die under load
+        for _ in range(8):
+            try:
+                times = list(self.times)
+                items = list(self.items)
+                break
+            except RuntimeError:
+                continue
+        else:  # pragma: no cover - pathological contention
             return {}
-        ts = sorted(self.times)
+        if not times:
+            return {}
+        ts = sorted(times)
         n = len(ts)
-        total = sum(self.times)
+        total = sum(times)
         return {
             "steps": self.total_steps,
             "mean_s": total / n,
             "p50_s": ts[n // 2],
             "p99_s": ts[min(n - 1, int(n * 0.99))],
-            "items_per_s": sum(self.items) / total if total else 0.0,
+            "items_per_s": sum(items) / total if total else 0.0,
         }
 
     def log(self, prefix: str = "steps"):
