@@ -468,3 +468,64 @@ def test_coalescer_groups_by_query_kind():
         t.join(30)
     assert len(out) == 3
     assert all(len(k) == 1 for k in calls)
+
+
+def test_coalescer_fuzz_matches_serial():
+    """Randomized concurrent load: any mix of sizes, k values and
+    query kinds must return exactly what serial execution would — the
+    scheduler (size-fair + starvation bound + kind grouping) only
+    reorders device calls, never results."""
+    import random
+
+    import numpy as np
+
+    from vsearch_tpu.serve import SearchCoalescer
+
+    def backend(queries, k, rerank, n_real=None):
+        # deterministic per-query result: hash of the payload
+        def val(q):
+            if isinstance(q, str):
+                return float(len(q)) + (1000.0 if rerank else 0.0)
+            return float(np.sum(q)) + (1000.0 if rerank else 0.0)
+
+        n = len(queries)
+        ids = np.arange(n * k).reshape(n, k)
+        scores = np.asarray([[val(q) + j for j in range(k)]
+                             for q in queries])
+        return ids, scores
+
+    co = SearchCoalescer(backend, max_queries=8)
+    rng = random.Random(7)
+    payloads = []
+    for i in range(40):
+        k = rng.choice([1, 3, 5])
+        rerank = rng.random() < 0.3
+        if rng.random() < 0.5:
+            qs = [f"query {i} {j} {'x' * rng.randrange(5)}"
+                  for j in range(rng.randrange(1, 13))]
+        else:
+            qs = [[float(i), float(j)]
+                  for j in range(rng.randrange(1, 13))]
+        payloads.append((qs, k, rerank))
+
+    results = [None] * len(payloads)
+
+    def run(idx):
+        qs, k, rerank = payloads[idx]
+        results[idx] = co.submit(qs, k=k, rerank=rerank)
+
+    threads = [threading.Thread(target=run, args=(i,))
+               for i in range(len(payloads))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+
+    for (qs, k, rerank), got in zip(payloads, results):
+        assert got is not None, "request lost"
+        _ids, scores = got
+        expect = np.asarray([[ (float(len(q)) if isinstance(q, str)
+                                else float(np.sum(q)))
+                               + (1000.0 if rerank else 0.0) + j
+                               for j in range(k)] for q in qs])
+        np.testing.assert_allclose(np.asarray(scores), expect)
