@@ -43,8 +43,10 @@ def read_jsonl_texts(path: str, text_key: str = "text") -> List[str]:
                 entries.append(line)
                 continue
             if isinstance(obj, (str, dict)):
-                if isinstance(obj, dict) and text_key not in ("text",
-                                                              "contents"):
+                if isinstance(obj, dict) and text_key != "text":
+                    # honor the caller's explicit field choice even
+                    # when the object ALSO has a 'text' field —
+                    # join_corpus prefers 'text' otherwise
                     obj = dict(obj, text=obj[text_key])
                 entries.append(obj)
             else:

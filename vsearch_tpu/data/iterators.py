@@ -302,8 +302,11 @@ def get_data_iterator(datasets: Sequence, batch_size: int,
             if is_train_set:
                 it.load_data(require_positive, require_hard_negative)
             else:
-                it.load_data(require_positive=False,
-                             require_hard_negative=False)
+                # same filter defaults as the non-local eval branch
+                # (ds.load_data() keeps require_positive=True) — a
+                # divergence here would both skew eval sample sets by
+                # flag and crash batch creation on positive-less rows
+                it.load_data()
             sharded.append(it)
     else:
         for i in load_order:

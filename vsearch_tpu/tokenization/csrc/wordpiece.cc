@@ -15,6 +15,7 @@
 // materializes per-text python lists at all.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <functional>
@@ -27,6 +28,9 @@
 namespace {
 
 struct Vocab {
+  // unique per instance; keys the thread-local word memo so entries
+  // can never leak across vocabularies (or a freed/reallocated Vocab)
+  uint64_t gen = 0;
   std::unordered_map<std::string, int32_t> map;
   // zero-copy lookup tables: views into `storage`; continuation pieces
   // ("##xx") are stored stripped so wordpiece matching never builds a
@@ -390,8 +394,22 @@ struct Scratch {
   std::vector<int32_t> row;
   std::vector<uint64_t> seen_bits;
   std::vector<int32_t> memo_ids;
-  WordMemo memo;
 };
+
+// Thread-local memo: HTTP/serve threads persist across calls, so their
+// memo warms once and is REUSED (the per-Scratch version re-zeroed
+// ~8 MB per encode call — hundreds of microseconds to tokenize a
+// single query). run_parallel's batch threads are fresh per call and
+// amortize construction over their whole chunk.
+inline WordMemo& memo_for(const Vocab& v) {
+  static thread_local WordMemo memo;
+  static thread_local uint64_t owner_gen = ~0ULL;
+  if (owner_gen != v.gen) {
+    for (auto& e : memo.slots) e.used = false;
+    owner_gen = v.gen;
+  }
+  return memo;
+}
 
 // Tokenize raw text into ids, honoring literal special tokens; appends
 // to `ids` and stops adding once `cap` total ids are reached (trimming
@@ -422,7 +440,7 @@ void tokenize_ids(const Vocab& v, const char* s, size_t len, int32_t cap,
       return;
     }
     uint64_t h = WordMemo::hash(w);
-    auto& e = sc.memo.slots[h & (WordMemo::kSlots - 1)];
+    auto& e = memo_for(v).slots[h & (WordMemo::kSlots - 1)];
     if (!e.matches(h, w)) {
       auto& tmp = sc.memo_ids;
       tmp.clear();
@@ -554,7 +572,9 @@ extern "C" {
 
 // vocab_blob: newline-joined tokens in id order
 void* wp_create(const char* vocab_blob, int64_t blob_len) {
+  static std::atomic<uint64_t> next_gen{1};
   auto* v = new Vocab();
+  v->gen = next_gen.fetch_add(1);
   int32_t id = 0;
   const char* p = vocab_blob;
   const char* endp = vocab_blob + blob_len;

@@ -148,17 +148,16 @@ def _lib():
 
 
 def _pack_texts(texts: Sequence[str]) -> Tuple[bytes, np.ndarray]:
-    # ASCII fast path: one join+encode instead of N encode calls.
-    # utf-8 length equals char length iff every char is ASCII, so the
-    # byte-count check is an exact all-ASCII test and char-based
-    # offsets are then byte-correct.
-    char_lens = np.fromiter(map(len, texts), dtype=np.int64,
-                            count=len(texts))
-    blob = "".join(texts).encode("utf-8")
+    # ASCII fast path: one join+encode instead of N encode calls, with
+    # char-based offsets (byte-correct for ASCII). str.isascii() is a
+    # cheap C scan, so non-ASCII batches skip the speculative join
+    # instead of paying for it twice.
     offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-    if len(blob) == int(char_lens.sum()):
+    if all(map(str.isascii, texts)):
+        char_lens = np.fromiter(map(len, texts), dtype=np.int64,
+                                count=len(texts))
         np.cumsum(char_lens, out=offsets[1:])
-        return blob, offsets
+        return "".join(texts).encode("utf-8"), offsets
     encoded = [t.encode("utf-8") for t in texts]
     np.cumsum([len(e) for e in encoded], out=offsets[1:])
     return b"".join(encoded), offsets
@@ -215,7 +214,10 @@ class NativeWordPieceTokenizer:
 
     @property
     def vocab_size(self) -> int:
-        return len(self.vocab)
+        # max id + 1, NOT len(vocab): gapped vocabs (blank vocab.txt
+        # lines keep their line number) produce ids beyond len(), and
+        # embedding/bow/index dimensions must cover every real id
+        return (max(self.vocab.values()) + 1) if self.vocab else 0
 
     # -- encoding ----------------------------------------------------------
     def encode_batch_padded(self, texts: Sequence[str],
@@ -260,11 +262,12 @@ class NativeWordPieceTokenizer:
 
     # -- misc (parity with python tokenizer) -------------------------------
     def tokenize(self, text: str) -> List[str]:
-        # a wordpiece token consumes >= 1 input character, so
-        # len(text) bounds the token count — a huge fixed max_length
-        # here would allocate (and the C++ pad loop would dirty) the
-        # whole [1, max_length] buffer per call
-        ids = self.encode(text, max_length=max(len(text) + 2, 16),
+        # bound the buffer by the input size — a huge fixed max_length
+        # would allocate (and the C++ pad loop would dirty) the whole
+        # [1, max_length] buffer per call. NFD can EXPAND characters
+        # (Hangul decomposes to up to 3 jamo), so use 4x + slack, not
+        # len(text) + 2, or long decomposable runs would truncate
+        ids = self.encode(text, max_length=max(4 * len(text) + 16, 16),
                           add_special_tokens=False)
         return [self.ids_to_tokens.get(i, "[UNK]") for i in ids]
 

@@ -96,7 +96,10 @@ class WordPieceTokenizer:
 
     @property
     def vocab_size(self) -> int:
-        return len(self.vocab)
+        # max id + 1, NOT len(vocab): gapped vocabs (blank vocab.txt
+        # lines keep their line number) produce ids beyond len(), and
+        # embedding/bow/index dimensions must cover every real id
+        return (max(self.vocab.values()) + 1) if self.vocab else 0
 
     # -- pipeline ----------------------------------------------------------
     def _clean(self, text: str) -> str:
