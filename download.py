@@ -44,8 +44,13 @@ def download(name: str, spec: dict):
     urllib.request.urlretrieve(url, tmp)
     if url.endswith(".gz"):
         print(f"[{name}] decompressing -> {dest}")
-        with gzip.open(tmp, "rb") as fin, open(dest, "wb") as fout:
+        # decompress to a temp sibling and commit atomically: a crash
+        # (or truncated archive) mid-copy must not leave a partial file
+        # at the FINAL path for a later training run to silently use
+        with gzip.open(tmp, "rb") as fin, open(dest + ".tmp",
+                                               "wb") as fout:
             shutil.copyfileobj(fin, fout)
+        os.replace(dest + ".tmp", dest)
         os.remove(tmp)
     else:
         os.replace(tmp, dest)

@@ -282,3 +282,53 @@ def test_string_answer_field_wrapped(tmp_path):
     ds = BiEncoderDataset(str(p))
     ds.load_data()
     assert ds[0].answers == ["einstein"]
+
+
+def test_negless_sample_pads_from_donor_pools():
+    """A sample with no negatives pads from OTHER samples' negative
+    pools — any in-batch positive as filler duplicates a softmax
+    target row and pushes the gradient against that query's own
+    positive (review finding, round 3)."""
+    from vsearch_tpu.data.dataset import (BiEncoderPassage,
+                                          BiEncoderSample)
+
+    tok = make_tokenizer()
+    mk = lambda t: BiEncoderPassage(text=t, title="")
+    s_with = BiEncoderSample(
+        query="q0", answers=[], positive_passages=[mk("pos zero")],
+        negative_passages=[mk("neg a"), mk("neg b")],
+        hard_negative_passages=[mk("hard a")])
+    s_without = BiEncoderSample(
+        query="q1", answers=[], positive_passages=[mk("pos one")],
+        negative_passages=[], hard_negative_passages=[])
+    b = create_biencoder_batch(tok, tok, [s_with, s_without],
+                               q_max_len=16, p_max_len=16,
+                               num_hard_negatives=1,
+                               num_other_negatives=1, shuffle=False)
+    positives = {"pos zero", "pos one"}
+    # negatives block must contain no batch positive
+    assert not positives & set(b.p_texts[2:] if hasattr(b, "p_texts")
+                               else [])
+    neg_texts = b.p_texts[2:] if len(b.p_texts) > 2 else []
+    assert all(t not in positives for t in neg_texts)
+
+
+def test_rag_dataset_skips_malformed_rows(tmp_path):
+    """One foreign-schema jsonl row must be skipped with a warning, not
+    abort the whole load (review finding, round 3); RAGDataset also
+    supports local-shard geometry."""
+    from vsearch_tpu.data.rag_dataset import RAGDataset
+
+    p = tmp_path / "rag.jsonl"
+    rows = [
+        json.dumps({"q": "wrong key", "ctxs": []}),
+        json.dumps({"question": "who", "answers": ["einstein"],
+                    "ctxs": [{"text": "einstein wrote it",
+                              "has_answer": True},
+                             {"text": "a dog", "has_answer": False}]}),
+    ]
+    p.write_text("\n".join(rows) + "\n")
+    ds = RAGDataset(str(p))
+    assert ds.calc_total_data_len() == 2
+    ds.load_data()
+    assert len(ds) == 1  # malformed row skipped, good row kept

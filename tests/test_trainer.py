@@ -277,3 +277,87 @@ def test_checkpoint_atomicity_crash_windows(train_file, tmp_path):
     assert resolve_checkpoint_dir(ckpt) == os.path.abspath(ckpt)
     _, meta = load_checkpoint(ckpt, t2.state)
     assert meta["offset"] == 3
+
+
+def test_checkpoint_tmp_promoted_before_next_save(train_file, tmp_path):
+    """After a crash between displacing the old dir and committing
+    .tmp, the next save must PROMOTE the complete .tmp (the newest
+    good checkpoint) instead of rmtree'ing it — a second crash during
+    that save would otherwise fall back two generations (review
+    finding, round 3)."""
+    import os
+    import shutil
+
+    from vsearch_tpu.train.checkpoint import (load_checkpoint,
+                                              resolve_checkpoint_dir,
+                                              save_checkpoint)
+
+    path, _ = train_file
+    cfg = TrainConfig(batch_size=8, num_train_epochs=1,
+                      learning_rate=5e-4, num_epoch_to_save=1,
+                      output_dir=str(tmp_path), seed=13)
+    t = RetrieverTrainer(make_retriever(), cfg,
+                         [BiEncoderDataset(path)])
+    t.run_train()
+    ckpt = str(tmp_path / "train_state")
+
+    # simulate the crash window: newest state lives ONLY in .tmp
+    save_checkpoint(ckpt, t.state, epoch=1, offset=5)
+    os.rename(ckpt, ckpt + ".tmp.displaced")
+    shutil.move(ckpt + ".tmp.displaced", ckpt + ".tmp")
+    assert resolve_checkpoint_dir(ckpt) == ckpt + ".tmp"
+
+    # next save crashes mid-write (orbax save raises): the promoted
+    # old state must survive at the committed path
+    import vsearch_tpu.train.checkpoint as ckpt_mod
+
+    class Boom(Exception):
+        pass
+
+    real_ocp = __import__("orbax.checkpoint", fromlist=["x"])
+
+    class FailingCkptr:
+        def save(self, *a, **k):
+            raise Boom()
+
+    orig = real_ocp.StandardCheckpointer
+    real_ocp.StandardCheckpointer = FailingCkptr
+    try:
+        with pytest.raises(Boom):
+            save_checkpoint(ckpt, t.state, epoch=2, offset=0)
+    finally:
+        real_ocp.StandardCheckpointer = orig
+
+    got = resolve_checkpoint_dir(ckpt)
+    assert got == os.path.abspath(ckpt)  # promoted, not destroyed
+    t2 = RetrieverTrainer(make_retriever(), cfg,
+                          [BiEncoderDataset(path)])
+    t2._init_state(3)
+    _, meta = load_checkpoint(got, t2.state)
+    assert meta["epoch"] == 1 and meta["offset"] == 5
+
+
+def test_shuffle_positives_flag_reaches_batching(train_file, tmp_path,
+                                                 monkeypatch):
+    """The data store's shuffle_positives knob must reach
+    create_biencoder_batch — it was stored on the dataset but never
+    read (review finding, round 3)."""
+    import vsearch_tpu.train.trainer as trainer_mod
+
+    path, _ = train_file
+    ds = BiEncoderDataset(path, shuffle_positives=True)
+    cfg = TrainConfig(batch_size=8, num_train_epochs=1,
+                      learning_rate=5e-4, num_epoch_to_save=10,
+                      prefetch_batches=0, output_dir=str(tmp_path),
+                      seed=14)
+    t = RetrieverTrainer(make_retriever(), cfg, [ds])
+    seen = []
+    orig = trainer_mod.create_biencoder_batch
+
+    def spy(*a, **kw):
+        seen.append(kw.get("shuffle_positives"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(trainer_mod, "create_biencoder_batch", spy)
+    t.run_train()
+    assert seen and all(v is True for v in seen)

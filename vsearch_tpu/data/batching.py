@@ -52,7 +52,7 @@ def create_biencoder_batch(
     q_texts, p_pos_texts, p_neg_texts = [], [], []
 
     num_negs = num_hard_negatives + num_other_negatives
-    for sample in samples:
+    for si, sample in enumerate(samples):
         if shuffle and shuffle_positives:
             positive = sample.positive_passages[
                 rng.randrange(len(sample.positive_passages))]
@@ -70,10 +70,24 @@ def create_biencoder_batch(
             if want and pool:
                 reps = -(-want // len(pool))  # wrap short pools
                 chosen.extend((pool * reps)[:want])
-        # if a sample has no negatives at all, reuse its positive as a
-        # filler (it is still a valid in-batch negative for other queries)
-        while len(chosen) < num_negs:
-            chosen.append(positive)
+        # a sample with no negatives pads from OTHER samples' negative
+        # pools: using any in-batch positive (its own or another
+        # sample's) would duplicate a softmax target row, capping that
+        # query's probability at 0.5 and pushing the gradient AGAINST
+        # its true positive every step. Only a batch with no negatives
+        # anywhere falls back to the (self-colliding) own positive.
+        if len(chosen) < num_negs:
+            donor_pool = [ctx for s in samples
+                          if s is not sample
+                          for ctx in (list(s.hard_negative_passages)
+                                      + list(s.negative_passages))]
+            fi = 0
+            while len(chosen) < num_negs:
+                if donor_pool:
+                    chosen.append(donor_pool[fi % len(donor_pool)])
+                    fi += 1
+                else:
+                    chosen.append(positive)
 
         q_rows.append(_encode_fixed(tokenizer_q, sample.query, q_max_len))
         if insert_title and positive.title:

@@ -36,6 +36,12 @@ class RAGDataset:
         self.download_link = download_link
         self.data: List[BiEncoderSample] = []
 
+    def calc_total_data_len(self) -> int:
+        """Total line count without parsing — local-shard geometry
+        (data/iterators.py get_data_iterator(local_shards=True))."""
+        with open(self.file, "rb") as f:
+            return sum(1 for _ in f)
+
     def load_data(self, require_positive: bool = True,
                   require_hard_negative: bool = False,
                   start_pos: Optional[int] = None,
@@ -49,6 +55,12 @@ class RAGDataset:
                     break
                 obj = json.loads(line)
                 question = obj.get("question") or obj.get("query")
+                if not question:
+                    # one foreign-schema row must not abort the whole
+                    # load (or crash _normalize(None) later)
+                    logger.warning("%s line %d: no question/query "
+                                   "field; skipped", self.file, lineno)
+                    continue
                 answers = obj.get("answers") or obj.get("answer") or []
                 if isinstance(answers, str):
                     answers = [answers]

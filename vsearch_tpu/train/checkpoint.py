@@ -37,7 +37,25 @@ def save_checkpoint(directory: str, state, epoch: int = 0,
     directory = os.path.abspath(directory)
     tmp = directory + ".tmp"
     primary = jax.process_index() == 0
+
+    def _complete(d):
+        return (os.path.isdir(os.path.join(d, "state"))
+                and os.path.isfile(os.path.join(d, _META_NAME)))
+
     if primary:
+        if _complete(tmp) and not _complete(directory):
+            # a previous save crashed between displacing the old dir
+            # and committing tmp: tmp is the NEWEST good checkpoint and
+            # resolve_checkpoint_dir has been serving it. Finish that
+            # commit before starting a new save — rmtree'ing it here
+            # would destroy the only up-to-date state and a second
+            # crash would fall back two generations.
+            old = directory + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(directory):
+                os.rename(directory, old)
+            os.rename(tmp, directory)
+            shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
     ckptr = ocp.StandardCheckpointer()

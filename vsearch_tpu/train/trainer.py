@@ -231,7 +231,8 @@ class RetrieverTrainer:
         self._sync_params_to_retriever()
         logger.info("***** Training Finished *****")
 
-    def _make_device_batch(self, samples, epoch: int, iteration: int):
+    def _make_device_batch(self, samples, epoch: int, iteration: int,
+                           source: int = 0):
         cfg = self.cfg
         # reseed per batch for resumable ctx-pool shuffling
         # (reference train_ir.py:136-137)
@@ -243,6 +244,8 @@ class RetrieverTrainer:
         rng = pyrandom.Random(cfg.seed + epoch * 1_000_003 + iteration)
         enc_q = self.retriever.encoder_q
         enc_p = self.retriever.encoder_p
+        ds = (self.datasets[source]
+              if 0 <= source < len(self.datasets) else None)
         b = create_biencoder_batch(
             enc_q.tokenizer, enc_p.tokenizer, samples,
             q_max_len=enc_q.config.max_len,
@@ -250,7 +253,13 @@ class RetrieverTrainer:
             insert_title=cfg.train_insert_title,
             num_hard_negatives=cfg.hard_negatives,
             num_other_negatives=cfg.other_negatives,
-            shuffle=True, rng=rng)
+            shuffle=True,
+            # honor the data store's knob (reference semantics: random
+            # positive per epoch) — it was previously stored on the
+            # dataset but never read
+            shuffle_positives=bool(getattr(ds, "shuffle_positives",
+                                           False)),
+            rng=rng)
         p_tensor = b.p_tensor
         if cfg.ret_negatives and self.retriever.index is not None:
             self._sync_params_to_retriever()
@@ -285,10 +294,11 @@ class RetrieverTrainer:
         host->device uploads with the device's step compute."""
         cfg = self.cfg
 
-        def produce(i, samples):
+        def produce(i, samples, source):
             iteration = it.get_iteration()
             batch, host_batch = self._make_device_batch(samples, epoch,
-                                                        iteration)
+                                                        iteration,
+                                                        source=source)
             # fold_in is collision-free across (epoch, iteration) —
             # an additive formula reused dropout masks once an epoch
             # exceeded its mixing constant in iterations
@@ -298,9 +308,9 @@ class RetrieverTrainer:
 
         if cfg.prefetch_batches < 1 or (
                 cfg.ret_negatives and self.retriever.index is not None):
-            for i, (samples, _source) in enumerate(
+            for i, (samples, source) in enumerate(
                     it.iterate_ds_data(epoch=epoch)):
-                yield produce(i, samples)
+                yield produce(i, samples, source)
             return
 
         import queue
@@ -324,9 +334,10 @@ class RetrieverTrainer:
 
         def worker():
             try:
-                for i, (samples, _source) in enumerate(
+                for i, (samples, source) in enumerate(
                         it.iterate_ds_data(epoch=epoch)):
-                    if stop.is_set() or not put(produce(i, samples)):
+                    if stop.is_set() or not put(produce(i, samples,
+                                                        source)):
                         return
             except BaseException as exc:  # surface in the main thread
                 put(exc)

@@ -12,8 +12,13 @@ from typing import Dict, Optional
 def wordcloud_from_dict(d: Dict[str, float], max_words: int = 100,
                         log_scale: bool = False,
                         save_file: Optional[str] = None):
+    d = {k: v for k, v in d.items() if v > 0}  # WordCloud needs > 0
     if log_scale:
-        d = {k: math.log(1 + v) for k, v in d.items() if v > 0}
+        d = {k: math.log(1 + v) for k, v in d.items()}
+    if not d:
+        # all-zero weights (fully gated embedding): degrade instead of
+        # crashing WordCloud's 'need at least 1 word'
+        return None
     try:
         from wordcloud import WordCloud
         import matplotlib
