@@ -118,16 +118,36 @@ def prepare_retriever(args, ap):
             # set but never read — reject instead of silently ignoring
             ap.error("--rerank_budget applies to real-valued sparse "
                      "indexes only (dense search has no rerank stage)")
-        if (isinstance(retriever.index, BoTIndex)
-                and retriever.index._use_bitpack()):
-            # the bit-packed BoT scorer computes EXACT scores with no
-            # candidate/rerank stage, so the budget would be set but
-            # never read — the same silent no-op this validation
-            # exists to prevent
-            ap.error("--rerank_budget has no effect on bag-of-token "
-                     "indexes served through the exact bit-packed "
-                     "scorer; it applies to real-valued sparse "
-                     "indexes (sketch/bit-proxy search)")
+        # the budget is only read by candidate-based search paths
+        # (bit-proxy / sketch). Resolve which path this index will
+        # actually take and reject the flag when that path is exact
+        # scoring with no candidate/rerank stage — a bit-packed BoT
+        # scorer, an explicit search_mode='exact', or a small index in
+        # 'auto' mode would all set the attribute and never read it
+        # (the silent-no-op knob class this validation exists to stop)
+        idx = retriever.index
+        bitpacked = (isinstance(idx, BoTIndex) and idx._use_bitpack())
+        uses_budget = (not bitpacked
+                       and (idx._use_bitproxy() or idx._use_sketch()))
+        if uses_budget and args.mesh_dp:
+            # mesh-sharded sparse search scores each shard exactly and
+            # merges over ICI — no candidate stage reads the budget
+            ap.error("--rerank_budget has no effect with --mesh_dp: "
+                     "sharded sparse search scores each shard exactly "
+                     "(per-shard scorer + ICI top-k merge) with no "
+                     "candidate/rerank stage")
+        if not uses_budget:
+            path = ("the exact bit-packed scorer" if bitpacked else
+                    f"exact scoring (search_mode={idx.search_mode!r}, "
+                    f"{idx.ell.shape[0]} rows <= exact_threshold "
+                    f"{idx.exact_threshold})"
+                    if idx.search_mode in ("auto", "exact")
+                    else f"search_mode={idx.search_mode!r}")
+            ap.error("--rerank_budget has no effect here: this index "
+                     f"resolves to {path}, which has no "
+                     "candidate/rerank stage; the budget applies to "
+                     "real-valued sparse indexes searched via "
+                     "bit-proxy or sketch candidates")
         retriever.index.rerank_budget = args.rerank_budget
     if args.mesh_dp:
         from ..parallel.mesh import make_mesh

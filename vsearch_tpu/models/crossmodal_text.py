@@ -119,7 +119,16 @@ class VDRTextEncoder(TextEncoderBase):
             target = max_len or self.config.max_len
             pad = target - enc["input_ids"].shape[1]
             if pad > 0:
-                enc = {k: np.pad(v, ((0, 0), (0, pad)))
+                # input_ids must extend with the REAL pad token: the
+                # compat max-pool consumes pad-position embeddings, and
+                # padding with id 0 diverges from the reference for any
+                # tokenizer whose pad id is nonzero. token_type_ids and
+                # attention_mask stay 0-padded.
+                pad_id = int(getattr(self.tokenizer, "pad_id", 0) or 0)
+                enc = {k: np.pad(v, ((0, 0), (0, pad)),
+                                 constant_values=(pad_id if
+                                                  k == "input_ids"
+                                                  else 0))
                        for k, v in enc.items()}
         return enc
 

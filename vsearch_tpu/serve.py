@@ -34,6 +34,13 @@ from .utils.profiling import StepTimer
 logger = logging.getLogger(__name__)
 
 
+class BadRequest(ValueError):
+    """Raised by request-validation sites only. The HTTP layer keys its
+    400 branch on exactly this type: server-side bugs that happen to
+    surface as ValueError/TypeError/KeyError from device code must not
+    masquerade as client errors to monitoring and retry policies."""
+
+
 class SearchCoalescer:
     """Merge concurrent search requests into single device calls.
 
@@ -74,7 +81,7 @@ class SearchCoalescer:
         if not queries:
             # validate before enqueueing: a bad request must fail alone,
             # never inside a merged device call
-            raise ValueError("queries must be a non-empty list")
+            raise BadRequest("queries must be a non-empty list")
         # fairness: a request bigger than one device call's budget is
         # split into chunks that enqueue as independent items, so
         # traffic arriving behind a giant batch interleaves with its
@@ -246,11 +253,17 @@ class RetrieverService:
             queries = [queries]
         queries = list(queries)
         if not queries:
-            raise ValueError("queries must be a non-empty list")
-        if k is not None and k <= 0:
-            # `k or default` would silently turn an explicit k=0 into
-            # default_k results
-            raise ValueError("k must be >= 1")
+            raise BadRequest("queries must be a non-empty list")
+        if k is not None:
+            if not isinstance(k, (int, np.integer)) or isinstance(
+                    k, bool):
+                # a string/float k would otherwise surface as a
+                # TypeError deep in the search path (a 500)
+                raise BadRequest("k must be an integer")
+            if k <= 0:
+                # `k or default` would silently turn an explicit k=0
+                # into default_k results
+                raise BadRequest("k must be >= 1")
         k = k or self.default_k
         if self._coalescer is not None:
             ids, scores = self._coalescer.submit(queries, k,
@@ -273,7 +286,7 @@ class RetrieverService:
             texts = [texts]
         texts = list(texts)
         if not texts:
-            raise ValueError("texts must be a non-empty list")
+            raise BadRequest("texts must be a non-empty list")
         with self._lock, self.embed_timer.step(items=len(texts)):
             enc = self.retriever.encoder_q
             if sparse and hasattr(enc, "embed_sparse"):
@@ -322,9 +335,18 @@ def make_handler(service: RetrieverService):
 
         def do_POST(self):
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                req = json.loads(self.rfile.read(length) or b"{}")
+                try:
+                    length = int(self.headers.get("Content-Length",
+                                                  "0"))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                except (ValueError, TypeError) as exc:
+                    raise BadRequest(f"invalid JSON body: {exc}")
+                if not isinstance(req, dict):
+                    raise BadRequest("request body must be a JSON "
+                                     "object")
                 if self.path == "/search":
+                    if "queries" not in req:
+                        raise BadRequest("missing 'queries'")
                     out = service.search(
                         req["queries"], k=req.get("k"),
                         rerank=bool(req.get("rerank", False)),
@@ -332,14 +354,18 @@ def make_handler(service: RetrieverService):
                                                   False)))
                     self._reply(200, out)
                 elif self.path == "/embed":
+                    if "texts" not in req:
+                        raise BadRequest("missing 'texts'")
                     out = service.embed(req["texts"],
                                         sparse=bool(req.get("sparse",
                                                             True)))
                     self._reply(200, out)
                 else:
                     self._reply(404, {"error": "not found"})
-            except (ValueError, KeyError, TypeError) as exc:
-                # malformed payloads are the client's fault
+            except BadRequest as exc:
+                # only validation-site raises take this branch: a
+                # server-side bug surfacing as ValueError/TypeError
+                # must be a 500, not a "client error"
                 logger.exception("bad request")
                 self._reply(400, {"error": str(exc)})
             except Exception as exc:

@@ -5,6 +5,13 @@ embedding stats (shape / gate ratio / mean / max / min), sample texts, and
 token-rank interaction tables for V(q), V(p), V(p_neg) and V(q)*V(p).
 Operates on host numpy arrays (embeddings are pulled off-device once per
 log step only).
+
+Provenance note: the method names, title defaults and format strings
+deliberately MIRROR the reference class so existing log-parsing
+dashboards consume either framework's output unchanged — the rendered
+card format is treated as the spec (see PARITY.md). The tensor math
+(gate ratios, token ranking, wrapping) is an independent numpy
+implementation.
 """
 from __future__ import annotations
 
