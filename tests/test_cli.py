@@ -235,19 +235,28 @@ def test_eval_beir_cli(workdir):
     assert all(0.0 <= v <= 1.0 for v in out.values())
 
 
-def test_serve_rerank_budget_knob(workdir):
+def test_serve_rerank_budget_knob(workdir, monkeypatch):
     from vsearch_tpu.cli.build_index.sparse_index import main as build
     from vsearch_tpu.cli.serve import make_parser, prepare_retriever
+    from vsearch_tpu.index import SparseIndex
 
     idx = str(workdir / "sparse_budget.npz")
     build(["--checkpoint", str(workdir / "ckpt"),
            "--text_file", str(workdir / "corpus.jsonl"),
            "--save_file", idx, "--batch_size", "4"])
     ap = make_parser()
-    args = ap.parse_args(["--checkpoint", str(workdir / "ckpt"),
-                          "--index_file", idx,
-                          "--index_type", "sparse",
-                          "--rerank_budget", "65536"])
+    budget_args = ["--checkpoint", str(workdir / "ckpt"),
+                   "--index_file", idx, "--index_type", "sparse",
+                   "--rerank_budget", "65536"]
+    # a 6-row index resolves to exact scoring, where the budget is
+    # never read — the CLI must reject it there (advisor, round 3)
+    args = ap.parse_args(budget_args)
+    with pytest.raises(SystemExit):
+        prepare_retriever(args, ap)
+    # force the bit-proxy candidate path (what a large index takes on
+    # TPU): the budget is read there, so the flag must be accepted
+    monkeypatch.setattr(SparseIndex, "_use_bitproxy", lambda self: True)
+    args = ap.parse_args(budget_args)
     r = prepare_retriever(args, ap)
     assert r.index.rerank_budget == 65536
     args = ap.parse_args(["--checkpoint", str(workdir / "ckpt"),

@@ -41,11 +41,6 @@ def make_parser() -> argparse.ArgumentParser:
                          "sparse exact-rerank stage (candidates = "
                          "budget // nnz_pad); default 131072 = C=1024 "
                          "at nnz 128, the measured recall knee")
-    ap.add_argument("--int8_head", action="store_true",
-                    help="run the VDR vocab projection as a fused int8 "
-                         "Pallas kernel (~2x MXU rate on the head, "
-                         "~0.5%% relative score quantization error); "
-                         "applies to embed and the beta-rerank stage")
     ap.add_argument("--no_coalesce", action="store_true",
                     help="serialize requests with a lock instead of "
                          "merging concurrent /search calls into one "
@@ -58,20 +53,6 @@ def prepare_retriever(args, ap):
     the mesh and warm up — everything main() does before binding the
     socket (split out so it is testable without a server loop)."""
     retriever = load_retriever(args.checkpoint)
-    if args.int8_head:
-        encs = {id(e): e for e in (retriever.encoder_q,
-                                   retriever.encoder_p)}
-        applied = False
-        for enc in encs.values():
-            if hasattr(enc, "set_int8_head"):
-                try:
-                    enc.set_int8_head(True)
-                except ValueError as e:  # e.g. pooling='mean'
-                    ap.error(f"--int8_head: {e}")
-                applied = True
-        if not applied:
-            ap.error("--int8_head applies to VDR encoders only")
-        logger.info("int8 fused projection head enabled")
     if args.index_file:
         retriever.load_index(index_file=args.index_file,
                              data_file=args.data_file,

@@ -54,10 +54,6 @@ class VDREncoderConfig:
     # but set True automatically when converting reference torch
     # checkpoints, so published golden scores reproduce bit-for-bit.
     compat_pad_pooling: bool = False
-    # Opt-in serving speed knob: run the vocab projection + max-pool as
-    # a fused int8 Pallas kernel (ops/int8_head.py). ~0.5% relative
-    # quantization error on scores; default off (bf16 exact-parity path)
-    int8_head: bool = False
     bert: BertConfig = dataclasses.field(default_factory=BertConfig)
     type: str = "vdr"
 
@@ -139,11 +135,7 @@ class VDRModule(nn.Module):
             # elu1p commutes with max, so pool raw logits. Two chunked
             # strategies keep the [B, L, V'] logits tensor out of HBM:
             b, l, _ = h.shape
-            if cfg.int8_head:
-                from ..ops.int8_head import int8_head_pool
-
-                pooled = int8_head_pool(h, proj, valid)
-            elif b * l >= 8192:
+            if b * l >= 8192:
                 # vocab-chunked: scan over V' chunks with the FULL
                 # M = B*L GEMM each step. The K=768 matmuls on this
                 # target only reach peak with both M and N large —
@@ -237,24 +229,13 @@ class VDREncoder(TextEncoderBase):
             tokenizer = get_tokenizer(config.model_id)
         super().__init__(config, variables, tokenizer)
 
-    def set_int8_head(self, enabled: bool = True):
-        """Toggle the fused int8 projection head (ops/int8_head.py), a
-        serving-speed knob with ~0.5% relative score quantization error.
-        Rebuilds the module and drops compiled fns; params unchanged
-        (quantization happens inside the forward)."""
-        if enabled and self.config.pooling != "max":
-            # the fused kernel pools max-over-L in VMEM; the 'mean'
-            # arm never dispatches to it, so enabling would be a
-            # silent no-op — refuse instead
-            raise ValueError(
-                "int8 fused head supports pooling='max' only "
-                f"(this encoder uses pooling={self.config.pooling!r})")
-        if self.config.int8_head != enabled:
-            self.config = dataclasses.replace(self.config,
-                                              int8_head=enabled)
-            self.module = VDRModule(self.config)
-            self._fn_cache.clear()
-        return self
+    # NOTE: a fused int8 projection head (quantized GEMM + dequant +
+    # masked max-pool in one Pallas kernel) was implemented, measured
+    # on-chip and REMOVED in round 4: 1.05-1.08x end-to-end embed
+    # speedup at 1.1% max relative score error — under the 1.15x /
+    # 0.5%-error keep bar (scripts/probe_int8_ab.py; full numbers in
+    # docs/ARCHITECTURE.md). The bf16 vocab-chunked head below is the
+    # exact-parity production path.
 
     # -- jitted pipelines --------------------------------------------------
     def _make_embed_fn(self, topk: Optional[int], activate_lexical: bool,
