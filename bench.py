@@ -131,9 +131,34 @@ def main():
                          "(TPU only; 0 disables)")
     args = ap.parse_args()
 
+    # proactively clear stale registered TPU processes (leftover
+    # serve/probe PIDs) BEFORE probing the device: a wedged claim cost
+    # round 3 its entire benchmark run. Only registry-recorded PIDs are
+    # touched — never command-line pattern matches.
+    from vsearch_tpu.utils.claim_guard import (cleanup_stale,
+                                               register_tpu_process)
+
+    stale = cleanup_stale()
+    if stale:
+        print(f"# cleaned up stale TPU processes: {stale}",
+              file=sys.stderr, flush=True)
+        time.sleep(2.0)  # give the tunnel a beat to release the claim
+    register_tpu_process("bench")
     _require_device()
     corpus = make_corpus(args.num_passages)
     tokenizer, tok_kind = get_bench_tokenizer()
+
+    # ---- raw tokenizer encode rate (host, per core) ----------------------
+    # the C++ wordpiece encode path in isolation (padded batch encode,
+    # the hot call under both index build and query embed)
+    tok_rate = 0.0
+    if hasattr(tokenizer, "encode_batch_padded"):
+        for _ in range(2):  # best-of-two: the shared host core is noisy
+            t0 = time.perf_counter()
+            tokenizer.encode_batch_padded(corpus[:50_000],
+                                          max_length=128)
+            tok_rate = max(tok_rate,
+                           50_000 / (time.perf_counter() - t0))
 
     # ---- BoT build (tokenizer-bound, host) ------------------------------
     from vsearch_tpu.index import BoTIndex
@@ -449,6 +474,7 @@ def main():
         "build_seconds": round(build_s, 2),
         "num_passages": args.num_passages,
         "tokenizer": tok_kind,
+        "tok_encode_passages_per_s": round(tok_rate, 1),
         "search_qps": round(qps, 1),
         "search_recall_vs_exact": round(float(recall), 4),
         "search_mode": ("bitpack" if index._use_bitpack() else

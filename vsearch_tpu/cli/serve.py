@@ -163,14 +163,19 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from ..serve import serve
+    from ..utils.claim_guard import register_tpu_process
 
+    # record this PID in the TPU-claim registry and make SIGTERM a
+    # clean exit: a killed-but-not-cleanly-exited server wedges the
+    # single-chip claim for every later process (round-3 postmortem)
+    register_tpu_process("serve")
     retriever = prepare_retriever(args, ap)
     server = serve(retriever, host=args.host, port=args.port,
                    default_k=args.default_k,
                    coalesce=not args.no_coalesce)
     try:
         server.serve_forever()
-    except KeyboardInterrupt:
+    except (KeyboardInterrupt, SystemExit):
         server.shutdown()
 
 
