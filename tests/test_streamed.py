@@ -1,0 +1,138 @@
+"""Host-streamed >HBM search (index/streamed.py): exactness vs the
+resident path, block/tail handling, and BoTIndex dispatch."""
+import numpy as np
+import pytest
+
+from vsearch_tpu.index import BoTIndex
+from vsearch_tpu.index.streamed import StreamedBitpackSearcher
+from vsearch_tpu.ops.bitpack import pack_ell_host
+from vsearch_tpu.ops.ell import ELLMatrix
+
+
+def make_binary_ell(n, v, nnz_max, seed=0):
+    rng = np.random.default_rng(seed)
+    nnz = rng.integers(1, nnz_max + 1, size=n).astype(np.int32)
+    nnz_pad = 8
+    cols = np.zeros((n, nnz_pad), dtype=np.int32)
+    for i in range(n):
+        cols[i, : nnz[i]] = rng.choice(v, size=nnz[i], replace=False)
+    return cols, nnz
+
+
+def exact_topk_host(q, cols, nnz, k):
+    n = cols.shape[0]
+    scores = np.zeros((q.shape[0], n), dtype=np.float32)
+    for i in range(n):
+        scores[:, i] = q[:, cols[i, : nnz[i]]].sum(axis=1)
+    ids = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return ids, np.take_along_axis(scores, ids, axis=1)
+
+
+@pytest.mark.parametrize("n", [96, 130])  # multi-block + ragged tail
+def test_streamed_matches_exact(n):
+    v = 500
+    cols, nnz = make_binary_ell(n, v, nnz_max=8, seed=1)
+    rng = np.random.default_rng(2)
+    q = np.zeros((4, v), dtype=np.float32)
+    for i in range(4):
+        active = rng.choice(v, size=32, replace=False)
+        q[i, active] = rng.random(32).astype(np.float32)
+
+    k = 10
+    s = StreamedBitpackSearcher(cols, nnz, v, block_rows=64)
+    assert s.n_blocks >= 1
+    ids, scores = s.search(q, k)
+
+    ids_e, scores_e = exact_topk_host(q, cols, nnz, k)
+    # the scoring kernel computes in bf16 (exact for 0/1 bits, ~3
+    # decimal digits for the query weights) — compare at bf16 tolerance;
+    # the bit-exact check vs the resident kernel is a separate test
+    np.testing.assert_allclose(scores, scores_e, rtol=2e-2)
+    for i in range(4):
+        got = np.zeros(s.num_rows + 1, np.float32)
+        for j in range(cols.shape[0]):
+            got[j] = q[i, cols[j, : nnz[j]]].sum()
+        kth = scores_e[i, -1]
+        assert (got[ids[i]] >= kth - 2e-2 * max(kth, 1.0)).all()
+
+
+def test_streamed_uint16_downcast_and_singleblock():
+    v = 300
+    cols, nnz = make_binary_ell(40, v, nnz_max=8, seed=3)
+    s = StreamedBitpackSearcher(cols, nnz, v, block_rows=1 << 18)
+    assert s.cols.dtype == np.uint16
+    assert s.n_blocks == 1
+    q = np.random.default_rng(4).random((2, v)).astype(np.float32)
+    ids, scores = s.search(q, 5)
+    ids_e, scores_e = exact_topk_host(q, cols, nnz, 5)
+    np.testing.assert_allclose(scores, scores_e, rtol=2e-2)
+
+
+def test_streamed_matches_resident_bitpack():
+    """The streamed path must return the same scores as packing the
+    whole matrix resident and scoring it (the <=HBM production path)."""
+    from vsearch_tpu.ops.bitpack import bitpack_topk_search
+    import jax.numpy as jnp
+
+    v = 400
+    cols, nnz = make_binary_ell(200, v, nnz_max=8, seed=5)
+    q = np.random.default_rng(6).random((3, v)).astype(np.float32)
+    k = 7
+
+    bm = pack_ell_host(cols, nnz, v)
+    ids_r, scores_r = bitpack_topk_search(jnp.asarray(q), bm, k=k)
+    s = StreamedBitpackSearcher(cols, nnz, v, block_rows=64)
+    ids_s, scores_s = s.search(q, k)
+    np.testing.assert_allclose(scores_s, np.asarray(scores_r),
+                               rtol=1e-5)
+
+
+def test_bot_index_stream_dispatch():
+    """search_mode='stream' routes through the streamer; results match
+    the default path on the same index."""
+    v = 400
+    cols, nnz = make_binary_ell(150, v, nnz_max=8, seed=7)
+    ell = ELLMatrix(cols=cols, nnz=nnz, vals=None, num_cols=v,
+                    sentinel_padded=False)
+
+    idx = BoTIndex(search_mode="stream")
+    idx.stream_block_rows = 64
+    idx.set_ell(ell, host_cache=(cols, nnz))
+    assert idx._use_stream()
+    q = np.random.default_rng(8).random((2, v)).astype(np.float32)
+    res = idx.search(q, k=5)
+
+    idx2 = BoTIndex()
+    idx2.set_ell(ell, host_cache=(cols, nnz))
+    assert not idx2._use_stream()  # small index, off-TPU: resident path
+    res2 = idx2.search(q, k=5)
+    # resident small-index path scores in f32; streamed kernel in bf16
+    np.testing.assert_allclose(res.scores, res2.scores, rtol=2e-2)
+
+
+def test_stream_mode_rejected_on_real_valued():
+    from vsearch_tpu.index import SparseIndex
+
+    with pytest.raises(ValueError, match="stream"):
+        SparseIndex(search_mode="stream")
+
+
+def test_streamer_reset_on_reload():
+    """set_ell must drop the cached streamer (stale corpus answers)."""
+    v = 300
+    cols, nnz = make_binary_ell(100, v, nnz_max=8, seed=9)
+    idx = BoTIndex(search_mode="stream")
+    idx.stream_block_rows = 64
+    idx.set_ell(ELLMatrix(cols=cols, nnz=nnz, vals=None, num_cols=v,
+                          sentinel_padded=False),
+                host_cache=(cols, nnz))
+    q = np.random.default_rng(10).random((1, v)).astype(np.float32)
+    idx.search(q, k=3)
+    assert idx._streamer is not None
+    cols2, nnz2 = make_binary_ell(80, v, nnz_max=8, seed=11)
+    idx.set_ell(ELLMatrix(cols=cols2, nnz=nnz2, vals=None, num_cols=v,
+                          sentinel_padded=False),
+                host_cache=(cols2, nnz2))
+    assert idx._streamer is None
+    res = idx.search(q, k=3)
+    assert res.ids.max() < 80

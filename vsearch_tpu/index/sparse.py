@@ -58,6 +58,12 @@ class SparseIndex(DenseIndex):
         self.shift = shift
         self.val_dtype = val_dtype
         self.block_rows = block_rows
+        if search_mode == "stream" and not self._binary:
+            # the host-streaming path packs blocks to bits on device —
+            # binary-only; a real-valued index would silently lose its
+            # weights
+            raise ValueError("search_mode='stream' supports binary "
+                             "bag-of-token indexes only")
         self.search_mode = search_mode  # 'auto'|'exact'|'sketch'|'bitproxy'
         if selection is not None:  # else the class default applies
             self.selection = selection
@@ -79,6 +85,11 @@ class SparseIndex(DenseIndex):
         else:
             self.ell = self._load_scipy(files)
         self._reset_derived()
+        if isinstance(self.ell.cols, np.ndarray):
+            # host-resident load (>HBM streaming path): the host cache
+            # doubles as the streamer's backing store
+            self._host_cache = (np.asarray(self.ell.cols),
+                                np.asarray(self.ell.nnz))
 
     def _reset_derived(self):
         """Drop every artifact derived from the previous ELL — a reload
@@ -93,6 +104,13 @@ class SparseIndex(DenseIndex):
         self._host_cache = None
         self._mesh = None
         self._true_rows = None
+        self._streamer = None  # host-streaming searcher (BoT, >HBM)
+
+    def _should_host_load(self, n: int, v: int) -> bool:
+        """Keep a freshly loaded index host-resident (numpy) instead of
+        device-resident? Overridden by BoTIndex for the >HBM streaming
+        path; real-valued sparse indexes must fit the device."""
+        return False
 
     def _load_scipy(self, files) -> ELLMatrix:
         from scipy.sparse import csr_matrix, load_npz, vstack
@@ -111,9 +129,11 @@ class SparseIndex(DenseIndex):
         if self.shift:
             shards = [s[:, self.shift:] for s in shards]
         mat = vstack(shards).tocsr() if len(shards) > 1 else shards[0].tocsr()
+        host = self._should_host_load(mat.shape[0], mat.shape[1])
         return ELLMatrix.from_scipy_csr(
             mat, binary=self._binary,
-            val_dtype=np.float32 if not self._binary else None)
+            val_dtype=np.float32 if not self._binary else None,
+            device=not host)
 
     def _load_native(self, files) -> ELLMatrix:
         parts = []
@@ -150,6 +170,12 @@ class SparseIndex(DenseIndex):
             vals = np.concatenate(
                 [np.pad(p[2], ((0, 0), (0, nnz_pad - p[2].shape[1])))
                  for p in parts])
+        if self._should_host_load(cols.shape[0], num_cols):
+            return ELLMatrix(
+                cols=cols, nnz=nnz,
+                vals=None if vals is None
+                else vals.astype(self.val_dtype),
+                num_cols=num_cols, sentinel_padded=sentinel)
         return ELLMatrix(
             cols=jnp.asarray(cols), nnz=jnp.asarray(nnz),
             vals=None if vals is None
@@ -356,11 +382,23 @@ class BoTIndex(SparseIndex):
     Large binary indexes score through the bit-packed Pallas MXU kernel
     (ops/bitpack.py): 4KB/row in HBM, exact scores, ~160 TFLOP/s
     effective on v5e — the TPU answer to the reference's CUDA sparse-CSR
-    matmul. search_mode: 'auto' | 'exact' | 'bitpack' | 'sketch'.
+    matmul. Indexes whose packed matrix exceeds the HBM budget are
+    searched by streaming host-resident ELL blocks through the device
+    (index/streamed.py). search_mode: 'auto' | 'exact' | 'bitpack' |
+    'sketch' | 'stream'.
     """
 
     index_type = IndexType.BAG_OF_TOKEN
     _binary = True
+
+    # -- >HBM host-streaming knobs (index/streamed.py) ----------------------
+    # 'auto' switches to host-streamed search when the bit-packed
+    # matrix would not fit the device HBM budget: the flagship wiki21m
+    # corpus (21M rows) packs to ~86 GB vs 16 GB on one v5e. The budget
+    # leaves headroom for queries, per-block transfer buffers and the
+    # encoder's weights.
+    hbm_budget_bytes: Optional[int] = None  # None -> 12 GiB on TPU
+    stream_block_rows = 1 << 18
 
     # top-k selection policy over bit-packed scores. 'auto' resolves to
     # the fused bucketed kernel (ops/bitpack.bitpack_bucketed_topk):
@@ -390,6 +428,53 @@ class BoTIndex(SparseIndex):
             return self.selection
         return ("bucketed" if self.ell.shape[0] > self.bucketed_threshold
                 else "exact")
+
+    def _packed_bytes(self, n: Optional[int] = None,
+                      v: Optional[int] = None) -> int:
+        """HBM footprint of the bit-packed matrix (4 KB/row at V~30k)."""
+        n = self.ell.shape[0] if n is None else n
+        v = self.ell.num_cols if v is None else v
+        n_pad = -(-n // 1024) * 1024
+        vp = -(-v // 4096) * 4096
+        return n_pad * (vp // 8)
+
+    def _budget(self) -> int:
+        if self.hbm_budget_bytes is not None:
+            return self.hbm_budget_bytes
+        return 12 << 30
+
+    def _should_host_load(self, n: int, v: int) -> bool:
+        if self.search_mode == "stream":
+            return True
+        return (self.search_mode == "auto"
+                and jax.default_backend() == "tpu"
+                and self._packed_bytes(n, v) > self._budget())
+
+    def _use_stream(self) -> bool:
+        if getattr(self, "_mesh", None) is not None:
+            return False  # mesh shards rows; each shard fits its chip
+        if self.search_mode == "stream":
+            return True
+        return (self.search_mode == "auto"
+                and jax.default_backend() == "tpu"
+                and self._packed_bytes() > self._budget())
+
+    def _get_streamer(self):
+        from .streamed import StreamedBitpackSearcher
+
+        if getattr(self, "_streamer", None) is None:
+            cache = getattr(self, "_host_cache", None)
+            if cache is not None:
+                cols, nnz = cache
+            else:
+                # device-resident ELL forced into stream mode: pull the
+                # compact ELL back once (NOT the 16-32x larger bitmat)
+                cols = np.asarray(self.ell.cols)
+                nnz = np.asarray(self.ell.nnz)
+            self._streamer = StreamedBitpackSearcher(
+                cols, nnz, self.ell.num_cols,
+                block_rows=self.stream_block_rows)
+        return self._streamer
 
     def _use_bitpack(self) -> bool:
         if self.search_mode == "bitpack":
@@ -446,6 +531,13 @@ class BoTIndex(SparseIndex):
     def search(self, q_embs, k: int,
                num_candidates=None) -> SearchResults:
         mesh_info = getattr(self, "_mesh", None)
+        if self._use_stream():
+            q = (q_embs.astype(jnp.float32)
+                 if isinstance(q_embs, jax.Array) else
+                 jnp.asarray(np.asarray(q_embs), dtype=jnp.float32))
+            ids, scores = self._get_streamer().search(
+                q, min(k, self.ell.shape[0]))
+            return SearchResults(ids, scores)
         if not self._use_bitpack() or (
                 mesh_info is not None and self.bitmat is None):
             return super().search(q_embs, k,

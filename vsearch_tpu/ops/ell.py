@@ -78,13 +78,16 @@ class ELLMatrix:
     # -- conversion --------------------------------------------------------
     @classmethod
     def from_dense(cls, dense, nnz_pad: Optional[int] = None,
-                   val_dtype=None, binary: bool = False) -> "ELLMatrix":
+                   val_dtype=None, binary: bool = False,
+                   device: bool = True) -> "ELLMatrix":
         """Build from a dense [N, V] array (host-side, numpy).
 
         ``binary=True`` stores no vals (implicit 1.0 weights) — REQUIRED
         for bag-of-token indexes: a vals array would re-classify the
         saved index as real-valued sparse on reload
         (retriever.load_index infers BoT from the absence of vals).
+        ``device=False`` keeps the arrays host-resident (numpy) for
+        indexes searched via the host-streaming path (index/streamed.py).
         """
         dense = np.asarray(dense)
         n, v = dense.shape
@@ -104,22 +107,25 @@ class ELLMatrix:
             starts[1:] = np.cumsum(counts[:-1], dtype=np.int64)
         offs = np.arange(rows_nz.size, dtype=np.int64) - starts[rows_nz]
         cols[rows_nz, offs] = cols_nz
+        put = jnp.asarray if device else (lambda x: x)
         if binary:
-            return cls(cols=jnp.asarray(cols), nnz=jnp.asarray(counts),
+            return cls(cols=put(cols), nnz=put(counts),
                        vals=None, num_cols=v, sentinel_padded=True)
         vals[rows_nz, offs] = dense[rows_nz, cols_nz]
-        return cls(cols=jnp.asarray(cols), nnz=jnp.asarray(counts),
-                   vals=jnp.asarray(vals), num_cols=v,
+        return cls(cols=put(cols), nnz=put(counts),
+                   vals=put(vals), num_cols=v,
                    sentinel_padded=True)
 
     @classmethod
     def from_scipy_csr(cls, mat, nnz_pad: Optional[int] = None,
                        val_dtype=np.float32, binary: bool = False,
-                       pad_multiple: int = 128) -> "ELLMatrix":
+                       pad_multiple: int = 128,
+                       device: bool = True) -> "ELLMatrix":
         """Build from a scipy CSR matrix/array (host-side).
 
         Vectorized: no per-row python loop — safe for multi-million-row
-        corpora.
+        corpora. ``device=False`` keeps the arrays host-resident for
+        the >HBM streaming path (index/streamed.py).
         """
         indptr = np.asarray(mat.indptr, dtype=np.int64)
         indices = np.asarray(mat.indices, dtype=np.int32)
@@ -137,13 +143,14 @@ class ELLMatrix:
         offs = np.arange(indices.size, dtype=np.int64) - np.repeat(
             indptr[:-1], counts)
         cols[rows, offs] = indices
+        put = jnp.asarray if device else (lambda x: x)
         if binary:
             vals = None
         else:
             vals_np = np.zeros((n, nnz_pad), dtype=val_dtype)
             vals_np[rows, offs] = data.astype(val_dtype)
-            vals = jnp.asarray(vals_np)
-        return cls(cols=jnp.asarray(cols), nnz=jnp.asarray(counts),
+            vals = put(vals_np)
+        return cls(cols=put(cols), nnz=put(counts),
                    vals=vals, num_cols=v, sentinel_padded=True)
 
     def to_scipy_csr(self, dtype=np.float32):
