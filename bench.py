@@ -129,6 +129,10 @@ def main():
                     help="extra wiki21m-shard-scale search bench on a "
                          "synthetic device-resident binary index "
                          "(TPU only; 0 disables)")
+    ap.add_argument("--stream-rows", type=int, default=4_000_000,
+                    help="host-streamed >HBM search bench rows "
+                         "(TPU only; 0 disables). 4M rows pack to "
+                         "~16 GB — past the one chip's HBM budget")
     args = ap.parse_args()
 
     # proactively clear stale registered TPU processes (leftover
@@ -438,6 +442,59 @@ def main():
         alpha_recall = float(alpha_recall_fn(chunks[0], ell2, ids_a))
         del ell2, proxy, cols_d, nnz_d, vals_d
 
+    # ---- >HBM oversize-index search (device-ELL block tier) --------------
+    # at --stream-rows 4M the packed matrix (~16 GB) exceeds the one
+    # chip's HBM: 'auto' keeps the COMPACT ELL device-resident and
+    # re-packs row blocks on device inside the search program
+    # (ops/bitpack.bitpack_blockwise_topk) — the wiki21m-scale
+    # single-chip serving path (full 21M-row numbers incl. the
+    # host-streaming fallback in docs/ARCHITECTURE.md). Measured
+    # through the BoTIndex API, so per-call result readback is
+    # included, exactly as serving pays it.
+    over_qps, over_recall, over_tier = 0.0, None, None
+    if args.stream_rows and jax.default_backend() == "tpu":
+        from vsearch_tpu.ops.ell import ELLMatrix
+
+        nnz_pad_s = 128
+        srng = np.random.default_rng(7)
+        stride = v // nnz_pad_s
+        s_cols = (srng.integers(0, stride, size=(args.stream_rows,
+                                                 nnz_pad_s),
+                                dtype=np.uint16)
+                  + (np.arange(nnz_pad_s, dtype=np.uint16)
+                     * stride)[None, :])
+        s_nnz = srng.integers(48, 97,
+                              size=args.stream_rows).astype(np.int32)
+        oidx = BoTIndex()
+        oidx.set_ell(ELLMatrix(cols=s_cols, nnz=s_nnz, vals=None,
+                               num_cols=v, sentinel_padded=False),
+                     host_cache=(s_cols, s_nnz))
+        over_tier = oidx._oversize_tier()
+        qs = q[:1024] if args.num_queries >= 1024 else q
+        oidx.search(qs, k=args.topk)  # upload + compile sweep
+        t0 = time.perf_counter()
+        res_o = oidx.search(qs, k=args.topk)
+        over_qps = qs.shape[0] / (time.perf_counter() - t0)
+        # recall vs host-exact scoring for 2 queries (cols are unique
+        # per row by construction: stratified slots)
+        recalls_s = []
+        pos = np.arange(nnz_pad_s)[None, :]
+        for i in range(2):
+            ex = np.empty(args.stream_rows, np.float32)
+            qi = q[i]
+            for s0 in range(0, args.stream_rows, 2_000_000):
+                e0 = min(s0 + 2_000_000, args.stream_rows)
+                g = qi[s_cols[s0:e0].astype(np.int64)]
+                g[pos >= s_nnz[s0:e0, None]] = 0.0
+                ex[s0:e0] = g.sum(axis=1, dtype=np.float32)
+            kth = -np.partition(-ex, args.topk - 1)[args.topk - 1]
+            tol = 1e-2 * max(kth, 1.0)
+            recalls_s.append(
+                float((ex[np.asarray(res_o.ids)[i]]
+                       >= kth - tol).mean()))
+        over_recall = float(np.mean(recalls_s))
+        del s_cols, s_nnz, oidx, res_o
+
     # ---- neural embed throughput (bert-base VDR forward, bf16) ----------
     embed_ps = 0.0
     if not args.skip_embed_bench:
@@ -498,6 +555,11 @@ def main():
                                else round(alpha_recall, 4)),
         "alpha_rerank_candidates": (ALPHA_C if alpha_recall is not None
                                     else None),
+        "oversize_rows": args.stream_rows,
+        "oversize_tier": over_tier,
+        "oversize_qps": round(over_qps, 1),
+        "oversize_recall_vs_exact": (None if over_recall is None
+                                     else round(over_recall, 4)),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))

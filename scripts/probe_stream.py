@@ -63,7 +63,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=WIKI21M)
     ap.add_argument("--skip-stage-a", action="store_true")
+    ap.add_argument("--skip-stage-b", action="store_true",
+                    help="skip the host-streaming sweeps (stage C, the "
+                         "device-ELL block tier, still runs)")
     args = ap.parse_args()
+
+    from vsearch_tpu.utils.claim_guard import register_tpu_process
+
+    register_tpu_process("probe_stream")
 
     import jax
     import jax.numpy as jnp
@@ -124,41 +131,90 @@ def main():
         del s, cols, nnz
         gc.collect()
 
-    # ---- stage B: wiki21m scale, streamed only -------------------------
+    # ---- stage B: wiki21m scale, host-streamed -------------------------
     n_b = args.rows
     t0 = time.perf_counter()
     cols, nnz = make_host_ell(n_b, seed=2)
     gen_s = time.perf_counter() - t0
     k = 100
-    s = StreamedBitpackSearcher(cols, nnz, V, block_rows=1 << 18)
-    bytes_per_sweep = s.cols.nbytes + s.nnz.nbytes
-
-    stage_b = {"rows": n_b, "gen_s": round(gen_s, 1),
-               "sweep_gb": round(bytes_per_sweep / 1e9, 2),
-               "blocks": s.n_blocks}
-    for b in (128, 1024):
-        q = make_queries(b, seed=3)
-        ids, scores = s.search(q, k)  # compile sweep
-        t0 = time.perf_counter()
-        ids, scores = s.search(q, k)
-        sweep_s = time.perf_counter() - t0
-        stage_b[f"qps_b{b}"] = round(b / sweep_s, 1)
-        stage_b[f"sweep_s_b{b}"] = round(sweep_s, 1)
-        stage_b[f"transfer_gbps_b{b}"] = round(
-            bytes_per_sweep / sweep_s / 1e9, 3)
-
-    # recall vs host-exact for 4 queries (guaranteed-unique cols)
+    # host-exact reference scores for 4 queries (guaranteed-unique cols)
     q = make_queries(4, seed=3)  # prefix of the B=128/1024 sets
-    ids, scores = s.search(q, k)
-    recalls = []
+    exacts = [host_exact_scores(q[i], cols, nnz) for i in range(4)]
+    import gc
+
+    if not args.skip_stage_b:
+        s = StreamedBitpackSearcher(cols, nnz, V, block_rows=1 << 18)
+        bytes_per_sweep = s.cols.nbytes + s.nnz.nbytes
+
+        stage_b = {"rows": n_b, "gen_s": round(gen_s, 1),
+                   "sweep_gb": round(bytes_per_sweep / 1e9, 2),
+                   "blocks": s.n_blocks}
+        for b in (128, 1024):
+            qb = make_queries(b, seed=3)
+            ids, scores = s.search(qb, k)  # compile sweep
+            t0 = time.perf_counter()
+            ids, scores = s.search(qb, k)
+            sweep_s = time.perf_counter() - t0
+            stage_b[f"qps_b{b}"] = round(b / sweep_s, 1)
+            stage_b[f"sweep_s_b{b}"] = round(sweep_s, 1)
+            stage_b[f"transfer_gbps_b{b}"] = round(
+                bytes_per_sweep / sweep_s / 1e9, 3)
+
+        ids, scores = s.search(q, k)
+        recalls = []
+        for i in range(4):
+            ex = exacts[i]
+            kth_score = -np.partition(-ex, k - 1)[k - 1]
+            tol = 1e-2 * max(kth_score, 1.0)
+            recalls.append(
+                float((ex[ids[i]] >= kth_score - tol).mean()))
+        stage_b["recall_vs_exact"] = round(float(np.mean(recalls)), 4)
+        out["stage_b"] = stage_b
+        print(json.dumps({"stage_b": stage_b}), flush=True)
+        del s
+        gc.collect()
+
+    # ---- stage C: device-resident-ELL block tier, same scale ------------
+    # the compact ELL (~5.4 GB at 21M as uint16) fits HBM even though
+    # the packed matrix (~86 GB) does not: blocks re-pack ON DEVICE
+    # inside the search program — no host traffic per query
+    from vsearch_tpu.index import BoTIndex
+    from vsearch_tpu.ops.ell import ELLMatrix
+
+    idx = BoTIndex()
+    idx.set_ell(ELLMatrix(cols=cols, nnz=nnz, vals=None, num_cols=V,
+                          sentinel_padded=False),
+                host_cache=(cols, nnz))
+    stage_c = {"rows": n_b, "tier": idx._oversize_tier(),
+               "selection": idx._resolved_selection()}
+    t0 = time.perf_counter()
+    cols_d, nnz_d = idx._get_block_ell()
+    import jax as _jax
+
+    _jax.block_until_ready(cols_d)
+    stage_c["ell_upload_s"] = round(time.perf_counter() - t0, 1)
+    stage_c["ell_device_gb"] = round(
+        (cols_d.nbytes + nnz_d.nbytes) / 1e9, 2)
+    for b in (128, 1024):
+        qb = make_queries(b, seed=3)
+        idx.search(qb, k=k)  # compile sweep
+        t0 = time.perf_counter()
+        res_c = idx.search(qb, k=k)
+        sweep_s = time.perf_counter() - t0
+        stage_c[f"qps_b{b}"] = round(b / sweep_s, 1)
+        stage_c[f"sweep_s_b{b}"] = round(sweep_s, 2)
+    # recall vs the SAME host-exact scores as stage B
+    res4 = idx.search(q, k=k)
+    recalls_c = []
     for i in range(4):
-        ex = host_exact_scores(q[i], cols, nnz)
-        kth = np.partition(-ex, k - 1)
-        kth_score = -kth[k - 1]
+        ex = exacts[i]
+        kth_score = -np.partition(-ex, k - 1)[k - 1]
         tol = 1e-2 * max(kth_score, 1.0)
-        recalls.append(float((ex[ids[i]] >= kth_score - tol).mean()))
-    stage_b["recall_vs_exact"] = round(float(np.mean(recalls)), 4)
-    out["stage_b"] = stage_b
+        recalls_c.append(
+            float((ex[np.asarray(res4.ids)[i]] >= kth_score - tol)
+                  .mean()))
+    stage_c["recall_vs_exact"] = round(float(np.mean(recalls_c)), 4)
+    out["stage_c"] = stage_c
     print(json.dumps(out))
 
 

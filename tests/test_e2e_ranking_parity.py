@@ -31,8 +31,18 @@ torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
 from tests.test_reference_parity import (SHIFT, VOCAB, _full_vocab_lines,
-                                         _import_reference_vdr)
+                                         _import_reference_vdr,
+                                         remove_reference_stubs)
 from vsearch_tpu.retriever import Retriever
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _stub_hygiene():
+    # _import_reference_vdr stubs absent packages (wordcloud, spacy, ...)
+    # into sys.modules; drop them after this module so later tests see
+    # the real import errors (utils.vis probes wordcloud at call time)
+    yield
+    remove_reference_stubs()
 
 # small full-vocab BERT: the vocab must stay 30522 (VALID_TOKEN_IDS and
 # shift 999 are vocab-anchored) but body dims can shrink for CI speed

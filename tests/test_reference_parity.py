@@ -28,6 +28,29 @@ SHIFT = 999
 VOCAB = 30522
 
 
+# sys.modules names WE stubbed (absent packages) — removed again by the
+# autouse module fixture below so the fakes cannot leak into unrelated
+# tests (e.g. utils.vis probes `import wordcloud` at call time and must
+# see the real ModuleNotFoundError, not a stub whose WordCloud=object)
+_INSTALLED_STUBS: set = set()
+
+
+def remove_reference_stubs():
+    while _INSTALLED_STUBS:
+        sys.modules.pop(_INSTALLED_STUBS.pop(), None)
+    # REF_ROOT at sys.path[0] shadows same-named top-level modules of
+    # OUR repo (download.py); reference packages already imported under
+    # src.* stay importable via sys.modules
+    while REF_ROOT in sys.path:
+        sys.path.remove(REF_ROOT)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _stub_hygiene():
+    yield
+    remove_reference_stubs()
+
+
 def _import_reference_vdr():
     # the reference's import chain (src.ir.__init__ -> retriever ->
     # dataset/qa_utils) pulls several packages that aren't installed and
@@ -49,6 +72,7 @@ def _import_reference_vdr():
             for k, v in attrs.items():
                 setattr(mod, k, v)
             sys.modules[name] = mod
+            _INSTALLED_STUBS.add(name)
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
     import importlib

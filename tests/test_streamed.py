@@ -136,3 +136,114 @@ def test_streamer_reset_on_reload():
     assert idx._streamer is None
     res = idx.search(q, k=3)
     assert res.ids.max() < 80
+
+
+# -- device-resident-ELL block tier (ops/bitpack.bitpack_blockwise_topk) --
+
+def test_blockwise_matches_resident_bitpack():
+    """Blockwise repack-and-score == packing the whole matrix resident
+    (the <=HBM production path), including multi-block + ragged tail."""
+    import jax.numpy as jnp
+
+    from vsearch_tpu.ops.bitpack import (bitpack_blockwise_topk,
+                                         bitpack_topk_search)
+
+    v = 400
+    cols, nnz = make_binary_ell(330, v, nnz_max=8, seed=21)
+    q = np.random.default_rng(22).random((3, v)).astype(np.float32)
+    k = 9
+
+    bm = pack_ell_host(cols, nnz, v)
+    ids_r, scores_r = bitpack_topk_search(jnp.asarray(q), bm, k=k)
+    ids_b, scores_b = bitpack_blockwise_topk(
+        jnp.asarray(q), jnp.asarray(cols.astype(np.uint16)),
+        jnp.asarray(nnz), num_cols=v, k=k, block_rows=128,
+        selection="exact")
+    np.testing.assert_allclose(np.asarray(scores_b),
+                               np.asarray(scores_r), rtol=1e-5)
+
+
+def test_blockwise_k_exceeds_tail():
+    """Tail block shorter than k must pad, not crash, and results stay
+    exact vs host scoring."""
+    import jax.numpy as jnp
+
+    from vsearch_tpu.ops.bitpack import bitpack_blockwise_topk
+
+    v = 300
+    cols, nnz = make_binary_ell(70, v, nnz_max=6, seed=23)
+    q = np.random.default_rng(24).random((2, v)).astype(np.float32)
+    k = 10  # tail block has 70 - 64 = 6 rows < k
+    ids_b, scores_b = bitpack_blockwise_topk(
+        jnp.asarray(q), jnp.asarray(cols), jnp.asarray(nnz),
+        num_cols=v, k=k, block_rows=64, selection="exact")
+    ids_e, scores_e = exact_topk_host(q, cols, nnz, k)
+    np.testing.assert_allclose(np.asarray(scores_b), scores_e,
+                               rtol=2e-2)
+
+
+def test_bot_index_block_dispatch():
+    """search_mode='block' uploads the compact ELL once and matches the
+    default resident path; reload drops the cached device ELL."""
+    v = 400
+    cols, nnz = make_binary_ell(150, v, nnz_max=8, seed=25)
+    ell = ELLMatrix(cols=cols, nnz=nnz, vals=None, num_cols=v,
+                    sentinel_padded=False)
+
+    idx = BoTIndex(search_mode="block")
+    idx.stream_block_rows = 64
+    idx.set_ell(ell, host_cache=(cols, nnz))
+    assert idx._oversize_tier() == "block"
+    q = np.random.default_rng(26).random((2, v)).astype(np.float32)
+    res = idx.search(q, k=5)
+    assert idx._block_ell is not None
+    assert idx._block_ell[0].dtype == np.uint16  # v <= 65535
+
+    idx2 = BoTIndex()
+    idx2.set_ell(ell, host_cache=(cols, nnz))
+    res2 = idx2.search(q, k=5)
+    np.testing.assert_allclose(res.scores, res2.scores, rtol=2e-2)
+
+    cols2, nnz2 = make_binary_ell(80, v, nnz_max=8, seed=27)
+    idx.set_ell(ELLMatrix(cols=cols2, nnz=nnz2, vals=None, num_cols=v,
+                          sentinel_padded=False),
+                host_cache=(cols2, nnz2))
+    assert idx._block_ell is None
+    res3 = idx.search(q, k=5)
+    assert res3.ids.max() < 80
+
+
+def test_block_mode_rejected_on_real_valued():
+    from vsearch_tpu.index import SparseIndex
+
+    with pytest.raises(ValueError, match="block"):
+        SparseIndex(search_mode="block")
+
+
+def test_load_index_search_mode_passthrough(tmp_path):
+    """retriever.load_index(search_mode=...) reaches the index ctor (it
+    decides host vs device residency at LOAD time) and errors on dense."""
+    import pytest
+
+    from vsearch_tpu.index import BoTIndex
+    from vsearch_tpu.retriever import Retriever, RetrieverConfig
+
+    v = 300
+    cols, nnz = make_binary_ell(60, v, nnz_max=6, seed=31)
+    idx = BoTIndex()
+    idx.set_ell(ELLMatrix(cols=cols, nnz=nnz, vals=None, num_cols=v,
+                          sentinel_padded=False))
+    path = str(tmp_path / "tiny.bot.npz")
+    idx.save(path)
+
+    ir = Retriever.__new__(Retriever)  # no encoders needed for load
+    ir.index = None
+    loaded = ir.load_index(index_file=path, search_mode="stream")
+    assert loaded.search_mode == "stream"
+    q = np.random.default_rng(32).random((2, v)).astype(np.float32)
+    res = loaded.search(q, k=4)
+    assert res.ids.shape == (2, 4)
+
+    with pytest.raises(ValueError, match="dense"):
+        ir.load_index(index_file=path, index_type="dense",
+                      search_mode="block")

@@ -26,6 +26,15 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--mesh_dp", type=int, default=0,
                     help="shard the index (and beta rerank) over this "
                          "many devices; 0 = single device")
+    ap.add_argument("--search_mode", default=None,
+                    choices=["auto", "exact", "bitpack", "sketch",
+                             "block", "stream"],
+                    help="sparse/BoT scoring path (index.BoTIndex). "
+                         "Default 'auto' picks by size and HBM budget, "
+                         "including the >HBM tiers: 'block' keeps the "
+                         "compact ELL device-resident and re-packs row "
+                         "blocks on device; 'stream' streams "
+                         "host-resident blocks through the device")
     ap.add_argument("--selection", default=None,
                     choices=["auto", "exact", "approx", "bucketed",
                              "bucketed_approx"],
@@ -56,7 +65,8 @@ def prepare_retriever(args, ap):
     if args.index_file:
         retriever.load_index(index_file=args.index_file,
                              data_file=args.data_file,
-                             index_type=args.index_type)
+                             index_type=args.index_type,
+                             search_mode=args.search_mode)
         if args.selection:
             from ..index import BoTIndex, SparseIndex
 
@@ -89,6 +99,9 @@ def prepare_retriever(args, ap):
                         retriever.index.selection)
     elif args.selection:
         ap.error("--selection requires --index_file (no index loaded)")
+    elif args.search_mode:
+        ap.error("--search_mode requires --index_file (no index "
+                 "loaded)")
     if args.rerank_budget is not None:
         from ..index import BoTIndex, SparseIndex
 

@@ -58,12 +58,12 @@ class SparseIndex(DenseIndex):
         self.shift = shift
         self.val_dtype = val_dtype
         self.block_rows = block_rows
-        if search_mode == "stream" and not self._binary:
-            # the host-streaming path packs blocks to bits on device —
+        if search_mode in ("stream", "block") and not self._binary:
+            # the >HBM tiers pack blocks to bits on device —
             # binary-only; a real-valued index would silently lose its
             # weights
-            raise ValueError("search_mode='stream' supports binary "
-                             "bag-of-token indexes only")
+            raise ValueError(f"search_mode={search_mode!r} supports "
+                             "binary bag-of-token indexes only")
         self.search_mode = search_mode  # 'auto'|'exact'|'sketch'|'bitproxy'
         if selection is not None:  # else the class default applies
             self.selection = selection
@@ -105,6 +105,8 @@ class SparseIndex(DenseIndex):
         self._mesh = None
         self._true_rows = None
         self._streamer = None  # host-streaming searcher (BoT, >HBM)
+        self._block_ell = None  # device compact ELL (BoT block tier)
+        self._block_fn = None
 
     def _should_host_load(self, n: int, v: int) -> bool:
         """Keep a freshly loaded index host-resident (numpy) instead of
@@ -382,21 +384,25 @@ class BoTIndex(SparseIndex):
     Large binary indexes score through the bit-packed Pallas MXU kernel
     (ops/bitpack.py): 4KB/row in HBM, exact scores, ~160 TFLOP/s
     effective on v5e — the TPU answer to the reference's CUDA sparse-CSR
-    matmul. Indexes whose packed matrix exceeds the HBM budget are
-    searched by streaming host-resident ELL blocks through the device
-    (index/streamed.py). search_mode: 'auto' | 'exact' | 'bitpack' |
-    'sketch' | 'stream'.
+    matmul. Indexes whose packed matrix exceeds the HBM budget fall to
+    one of two over-size tiers: 'block' keeps the COMPACT ELL
+    device-resident (uint16 cols — ~5.4 GB at wiki21m scale vs ~86 GB
+    packed) and re-packs row blocks on device inside the search program
+    (ops/bitpack.bitpack_blockwise_topk, no host traffic per query);
+    'stream' streams host-resident ELL blocks through the device
+    (index/streamed.py) when even the compact ELL exceeds HBM.
+    search_mode: 'auto' | 'exact' | 'bitpack' | 'sketch' | 'block' |
+    'stream'.
     """
 
     index_type = IndexType.BAG_OF_TOKEN
     _binary = True
 
-    # -- >HBM host-streaming knobs (index/streamed.py) ----------------------
-    # 'auto' switches to host-streamed search when the bit-packed
-    # matrix would not fit the device HBM budget: the flagship wiki21m
-    # corpus (21M rows) packs to ~86 GB vs 16 GB on one v5e. The budget
-    # leaves headroom for queries, per-block transfer buffers and the
-    # encoder's weights.
+    # -- >HBM tier knobs (ops/bitpack.py + index/streamed.py) ---------------
+    # 'auto' leaves the resident bit-packed path when the packed matrix
+    # would not fit the device HBM budget: the flagship wiki21m corpus
+    # (21M rows) packs to ~86 GB vs 16 GB on one v5e. The budget leaves
+    # headroom for queries, per-block transients and encoder weights.
     hbm_budget_bytes: Optional[int] = None  # None -> 12 GiB on TPU
     stream_block_rows = 1 << 18
 
@@ -444,20 +450,80 @@ class BoTIndex(SparseIndex):
         return 12 << 30
 
     def _should_host_load(self, n: int, v: int) -> bool:
-        if self.search_mode == "stream":
+        if self.search_mode in ("stream", "block"):
             return True
         return (self.search_mode == "auto"
                 and jax.default_backend() == "tpu"
                 and self._packed_bytes(n, v) > self._budget())
 
-    def _use_stream(self) -> bool:
+    def _ell_device_bytes(self) -> int:
+        """Device footprint of the compact ELL as the block tier stores
+        it (uint16 cols when the vocab allows, int32 nnz)."""
+        n, nnz_pad = self.ell.cols.shape
+        itemsize = 2 if self.ell.num_cols <= 65535 else 4
+        return n * (nnz_pad * itemsize + 4)
+
+    def _oversize_tier(self) -> Optional[str]:
+        """None (packed fits — resident paths apply) | 'block' |
+        'stream'. 'auto' prefers the device-resident-ELL block tier
+        (no per-query host traffic) and only streams from host when
+        even the compact ELL would crowd out the per-block transients
+        (one packed block ~1 GB + selection buffers)."""
         if getattr(self, "_mesh", None) is not None:
-            return False  # mesh shards rows; each shard fits its chip
-        if self.search_mode == "stream":
-            return True
-        return (self.search_mode == "auto"
+            return None  # mesh shards rows; each shard fits its chip
+        if self.search_mode in ("stream", "block"):
+            return self.search_mode
+        if (self.search_mode == "auto"
                 and jax.default_backend() == "tpu"
-                and self._packed_bytes() > self._budget())
+                and self._packed_bytes() > self._budget()):
+            return ("block" if self._ell_device_bytes()
+                    <= self._budget() - (3 << 30) else "stream")
+        return None
+
+    def _use_stream(self) -> bool:
+        return self._oversize_tier() == "stream"
+
+    def _use_block_ell(self) -> bool:
+        return self._oversize_tier() == "block"
+
+    def _get_block_ell(self):
+        """One-time upload of the compact ELL (uint16 cols) for the
+        block tier; padding columns beyond the corpus-wide max nnz are
+        trimmed first (less HBM, less per-block pack work)."""
+        if getattr(self, "_block_ell", None) is None:
+            cache = getattr(self, "_host_cache", None)
+            if cache is not None:
+                cols, nnz = cache
+            else:
+                cols = np.asarray(self.ell.cols)
+                nnz = np.asarray(self.ell.nnz)
+            nnz = np.ascontiguousarray(nnz, dtype=np.int32)
+            mx = -(-max(int(nnz.max()), 1) // 8) * 8
+            if mx < cols.shape[1]:
+                cols = cols[:, :mx]
+            dt = np.uint16 if self.ell.num_cols <= 65535 else np.int32
+            # sentinel pads (>= num_cols) survive the cast when vocab
+            # <= 65535; the pack kernel masks anything outside [0, V)
+            cols = np.ascontiguousarray(cols, dtype=dt)
+            self._block_ell = (jnp.asarray(cols), jnp.asarray(nnz))
+        return self._block_ell
+
+    def _block_search(self, q, k: int):
+        from ..ops.bitpack import bitpack_blockwise_topk
+
+        cols_d, nnz_d = self._get_block_ell()
+        sel = self._resolved_selection()
+        sel = "bucketed" if sel.startswith("bucketed") else "exact"
+        key = ("blk", q.shape[0], k, sel)
+        if getattr(self, "_block_fn", None) is None \
+                or self._block_fn[0] != key:
+            num_cols = self.ell.num_cols
+            block = self.stream_block_rows
+            fn = jax.jit(lambda qq, c, z: bitpack_blockwise_topk(
+                qq, c, z, num_cols=num_cols, k=k, block_rows=block,
+                selection=sel))
+            self._block_fn = (key, fn)
+        return self._block_fn[1](q, cols_d, nnz_d)
 
     def _get_streamer(self):
         from .streamed import StreamedBitpackSearcher
@@ -531,12 +597,21 @@ class BoTIndex(SparseIndex):
     def search(self, q_embs, k: int,
                num_candidates=None) -> SearchResults:
         mesh_info = getattr(self, "_mesh", None)
-        if self._use_stream():
+        tier = self._oversize_tier()
+        if tier is not None:
             q = (q_embs.astype(jnp.float32)
                  if isinstance(q_embs, jax.Array) else
                  jnp.asarray(np.asarray(q_embs), dtype=jnp.float32))
-            ids, scores = self._get_streamer().search(
-                q, min(k, self.ell.shape[0]))
+            if q.shape[-1] != self.ell.num_cols:
+                raise ValueError(
+                    f"query dim {q.shape[-1]} != index dim "
+                    f"{self.ell.num_cols}")
+            k = min(k, self.ell.shape[0])
+            if tier == "block":
+                ids, scores = self._block_search(q, k)
+                return SearchResults(np.asarray(ids),
+                                     np.asarray(scores))
+            ids, scores = self._get_streamer().search(q, k)
             return SearchResults(ids, scores)
         if not self._use_bitpack() or (
                 mesh_info is not None and self.bitmat is None):

@@ -290,7 +290,13 @@ class Retriever(BiEncoder):
 
     def load_index(self, index_file: Optional[str] = None,
                    data_file: Optional[str] = None,
-                   index_type: Union[None, str, IndexType] = None):
+                   index_type: Union[None, str, IndexType] = None,
+                   search_mode: Optional[str] = None):
+        """``search_mode`` (sparse/BoT only) picks the scoring path —
+        'auto' | 'exact' | 'bitpack' | 'sketch' | 'block' | 'stream'
+        (the latter two are BoT >HBM tiers; see index.BoTIndex). It
+        must be set at load time: it decides whether the ELL lands on
+        device or stays host-resident."""
         if index_file is None:
             raise ValueError(
                 "load_index requires index_file (a path or glob)")
@@ -320,11 +326,21 @@ class Retriever(BiEncoder):
             raise TypeError("index_type must be IndexType or str")
         self.index_type = index_type
         if index_type == IndexType.DENSE:
+            if search_mode is not None:
+                raise ValueError(
+                    "search_mode applies to sparse/bag-of-token "
+                    "indexes; dense indexes always score exactly")
             self.index = DenseIndex(index_file, data_file)
         elif index_type == IndexType.SPARSE:
-            self.index = SparseIndex(index_file, data_file)
+            self.index = SparseIndex(
+                index_file, data_file,
+                **({"search_mode": search_mode}
+                   if search_mode is not None else {}))
         elif index_type == IndexType.BAG_OF_TOKEN:
-            self.index = BoTIndex(index_file, data_file)
+            self.index = BoTIndex(
+                index_file, data_file,
+                **({"search_mode": search_mode}
+                   if search_mode is not None else {}))
         else:
             raise NotImplementedError(index_type)
         return self.index
