@@ -18,6 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+from vsearch_tpu.utils.claim_guard import register_tpu_process  # noqa: E402
+
+register_tpu_process("bitpack_regret_probe")
 from vsearch_tpu.ops.bitpack import (ROW_BLOCK, BitMatrix,
                                      bitpack_bucketed_topk,
                                      bitpack_scores)

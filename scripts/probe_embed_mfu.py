@@ -185,4 +185,6 @@ def main():
 
 
 if __name__ == "__main__":
+    from vsearch_tpu.utils.claim_guard import register_tpu_process
+    register_tpu_process('probe_embed_mfu')
     main()

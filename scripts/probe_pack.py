@@ -148,4 +148,6 @@ def main():
 
 
 if __name__ == "__main__":
+    from vsearch_tpu.utils.claim_guard import register_tpu_process
+    register_tpu_process('probe_pack')
     main()

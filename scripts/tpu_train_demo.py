@@ -156,4 +156,6 @@ def main():
 
 
 if __name__ == "__main__":
+    from vsearch_tpu.utils.claim_guard import register_tpu_process
+    register_tpu_process('tpu_train_demo')
     main()

@@ -312,3 +312,43 @@ def test_read_queries_rejects_missing_field(tmp_path):
     p.write_text('{"_id": "q1", "query_text": "oops"}\n')
     with pytest.raises(ValueError, match="question/query/text"):
         read_queries(str(p))
+
+
+def test_serve_search_mode_passthrough_and_validation(workdir):
+    """--search_mode reaches the loaded BoT index (residency is decided
+    at load time); on a dense index or without --index_file it must
+    fail fast instead of being silently dropped."""
+    from vsearch_tpu.cli.build_index.binary_token_index import main as build
+    from vsearch_tpu.cli.serve import make_parser, prepare_retriever
+
+    idx = str(workdir / "bot_mode.npz")
+    build(["--text_file", str(workdir / "corpus.jsonl"),
+           "--save_file", idx, "--num_shift", "5",
+           "--tokenizer", str(workdir / "ckpt"), "--num_workers", "1"])
+    ap = make_parser()
+    args = ap.parse_args(["--checkpoint", str(workdir / "ckpt"),
+                          "--index_file", idx,
+                          "--index_type", "bag_of_token",
+                          "--search_mode", "stream"])
+    r = prepare_retriever(args, ap)
+    assert r.index.search_mode == "stream"
+    assert r.index._oversize_tier() == "stream"
+
+    # dense index rejects search_mode at load time
+    from vsearch_tpu.cli.build_index.dense_index import main as dbuild
+
+    didx = str(workdir / "dense_mode.pt")
+    dbuild(["--checkpoint", str(workdir / "ckpt"),
+            "--text_file", str(workdir / "corpus.jsonl"),
+            "--save_file", didx, "--batch_size", "4"])
+    args = ap.parse_args(["--checkpoint", str(workdir / "ckpt"),
+                          "--index_file", didx, "--index_type", "dense",
+                          "--search_mode", "block"])
+    with pytest.raises(ValueError, match="dense"):
+        prepare_retriever(args, ap)
+
+    # no index loaded -> argparse error
+    args = ap.parse_args(["--checkpoint", str(workdir / "ckpt"),
+                          "--search_mode", "stream"])
+    with pytest.raises(SystemExit):
+        prepare_retriever(args, ap)

@@ -202,11 +202,19 @@ class BiEncoder:
                       encoding="utf-8") as f:
                 f.write("\n".join(by_id.get(i, "")
                                   for i in range(max_id + 1)) + "\n")
+        # device_get the WHOLE tree in one call before serializing:
+        # to_bytes pulls leaves one at a time, and on a high-latency
+        # host<->device link (the dev tunnel syncs ~31ms per transfer)
+        # per-leaf fetches turned a tiny-checkpoint save into ~80s
+        import jax
+
         with open(os.path.join(path, "encoder_q.msgpack"), "wb") as f:
-            f.write(serialization.to_bytes(self.encoder_q.variables))
+            f.write(serialization.to_bytes(
+                jax.device_get(self.encoder_q.variables)))
         if not self.config.shared_encoder:
             with open(os.path.join(path, "encoder_p.msgpack"), "wb") as f:
-                f.write(serialization.to_bytes(self.encoder_p.variables))
+                f.write(serialization.to_bytes(
+                    jax.device_get(self.encoder_p.variables)))
         logger.info("saved bi-encoder to %s", path)
 
     @classmethod
