@@ -62,15 +62,9 @@ def main():
     print(f"full VDR fwd: {dt*1e3:.1f} ms  {tf:.1f} TF/s  "
           f"{B/dt:.0f} passages/s")
 
-    # full forward with the fused int8 head (ops/int8_head.py)
-    import dataclasses as _dc
-
-    i8mod = VDRModule(_dc.replace(vcfg, int8_head=True))
-    i8 = jax.jit(lambda v, i, t, m: i8mod.apply(v, i, t, m))
-    dt8 = bench(i8, (variables, ids, ttype, mask))
-    tf8 = (flops_bert(B, L) + flops_head(B, L)) / dt8 / 1e12
-    print(f"full VDR fwd [int8 head]: {dt8*1e3:.1f} ms  "
-          f"{tf8:.1f} TF/s-eq  {B/dt8:.0f} passages/s")
+    # (the fused int8 head was probed here in rounds 3-4, measured
+    # 1.05-1.08x at 1.1% score error on-chip, and removed — commit
+    # 9edf592; docs/ARCHITECTURE.md "int8 fused head")
 
     bmod = BertModel(vcfg.bert)
     bvars = jax.jit(bmod.init)(jax.random.PRNGKey(0), ids[:1, :8],
@@ -115,16 +109,6 @@ def main():
     dthc = bench(headc, (h0, w))
     print(f"head (chunk): {dthc*1e3:.1f} ms  "
           f"{flops_head(B, L)/dthc/1e12:.1f} TF/s")
-
-    # fused int8 Pallas head (quant + GEMM + dequant + maxpool in VMEM)
-    from vsearch_tpu.ops.int8_head import int8_head_pool
-
-    valid = jnp.ones((B, L), jnp.int32)
-    head8 = jax.jit(lambda h, w, m: jax.nn.elu(
-        int8_head_pool(h, w, m)) + 1)
-    dth8 = bench(head8, (h0, w, valid))
-    print(f"head (int8 fused): {dth8*1e3:.1f} ms  "
-          f"{flops_head(B, L)/dth8/1e12:.1f} TF/s-eq")
 
     # --- attention variants on one isolated layer stack ------------------
     import flax.linen as nn

@@ -66,6 +66,10 @@ def main():
     ap.add_argument("--skip-stage-b", action="store_true",
                     help="skip the host-streaming sweeps (stage C, the "
                          "device-ELL block tier, still runs)")
+    ap.add_argument("--block-rows", type=int, default=0,
+                    help="override BoTIndex.stream_block_rows for "
+                         "stage C (0 = class default); use to sweep "
+                         "block sizes for the block tier")
     args = ap.parse_args()
 
     from vsearch_tpu.utils.claim_guard import register_tpu_process
@@ -182,11 +186,14 @@ def main():
     from vsearch_tpu.ops.ell import ELLMatrix
 
     idx = BoTIndex()
+    if args.block_rows:
+        idx.stream_block_rows = args.block_rows
     idx.set_ell(ELLMatrix(cols=cols, nnz=nnz, vals=None, num_cols=V,
                           sentinel_padded=False),
                 host_cache=(cols, nnz))
     stage_c = {"rows": n_b, "tier": idx._oversize_tier(),
-               "selection": idx._resolved_selection()}
+               "selection": idx._resolved_selection(),
+               "block_rows": idx.stream_block_rows}
     t0 = time.perf_counter()
     cols_d, nnz_d = idx._get_block_ell()
     import jax as _jax
