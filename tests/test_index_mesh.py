@@ -53,3 +53,74 @@ def test_bot_index_to_mesh(mesh, rng):
     idx.to_mesh(mesh)
     after = idx.search(q, k=4)
     np.testing.assert_array_equal(before.ids, after.ids)
+
+
+def test_bot_block_tier_to_mesh(mesh, rng):
+    """search_mode='block' under a mesh shards the COMPACT ELL and
+    scores blockwise per shard (the >HBM-per-shard path); results must
+    match the single-device resident search on the same data."""
+    from vsearch_tpu.ops.ell import ELLMatrix
+
+    n, v = 330, 400
+    g = np.random.default_rng(33)
+    cols = np.sort(
+        np.stack([g.choice(v, size=8, replace=False)
+                  for _ in range(n)]).astype(np.int32), axis=1)
+    nnz = g.integers(3, 9, size=n).astype(np.int32)
+    ell = ELLMatrix(cols=cols, nnz=nnz, vals=None, num_cols=v,
+                    sentinel_padded=False)
+    q = np.abs(g.normal(size=(3, v))).astype(np.float32)
+
+    ref = BoTIndex(search_mode="exact")
+    ref.set_ell(ell)
+    before = ref.search(q, k=7)
+
+    idx = BoTIndex(search_mode="block")
+    idx.stream_block_rows = 64
+    idx.set_ell(ELLMatrix(cols=cols, nnz=nnz, vals=None, num_cols=v,
+                          sentinel_padded=False),
+                host_cache=(cols, nnz))
+    idx.to_mesh(mesh)
+    assert idx._mesh_ell is not None
+    assert idx._mesh_ell.cols.dtype == np.uint16  # v <= 65535
+    after = idx.search(q, k=7)
+    np.testing.assert_allclose(
+        np.sort(after.scores, axis=1), np.sort(before.scores, axis=1),
+        rtol=2e-2, atol=1e-4)
+    # ids must agree where scores are distinct (ties can permute)
+    np.testing.assert_array_equal(np.sort(after.ids, axis=1)
+                                  [:, -3:],
+                                  np.sort(before.ids, axis=1)[:, -3:])
+
+    # reload drops the sharded state (stale-state regression class)
+    cols2 = cols[:80]
+    idx.set_ell(ELLMatrix(cols=cols2, nnz=nnz[:80], vals=None,
+                          num_cols=v, sentinel_padded=False),
+                host_cache=(cols2, nnz[:80]))
+    assert idx._mesh_ell is None
+    res = idx.search(q, k=5)
+    assert res.ids.max() < 80
+
+
+def test_bot_stream_mode_to_mesh_uses_blockwise(mesh, rng):
+    """search_mode='stream' + mesh routes to the sharded block tier
+    (host streaming is a single-device fallback; under a mesh the
+    per-shard ELL is 1/shards the size and belongs on device)."""
+    from vsearch_tpu.ops.ell import ELLMatrix
+
+    n, v = 150, 300
+    g = np.random.default_rng(34)
+    cols = np.stack([g.choice(v, size=6, replace=False)
+                     for _ in range(n)]).astype(np.int32)
+    nnz = g.integers(2, 7, size=n).astype(np.int32)
+    idx = BoTIndex(search_mode="stream")
+    idx.set_ell(ELLMatrix(cols=cols, nnz=nnz, vals=None, num_cols=v,
+                          sentinel_padded=False),
+                host_cache=(cols, nnz))
+    idx.to_mesh(mesh)
+    assert idx._mesh_ell is not None
+    assert idx._oversize_tier() is None  # mesh owns the rows now
+    q = np.abs(g.normal(size=(2, v))).astype(np.float32)
+    res = idx.search(q, k=4)
+    assert res.ids.shape == (2, 4)
+    assert res.ids.max() < n

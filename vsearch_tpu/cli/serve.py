@@ -34,7 +34,11 @@ def make_parser() -> argparse.ArgumentParser:
                          "including the >HBM tiers: 'block' keeps the "
                          "compact ELL device-resident and re-packs row "
                          "blocks on device; 'stream' streams "
-                         "host-resident blocks through the device")
+                         "host-resident blocks through the device. "
+                         "With --mesh_dp, 'block'/'stream' shard the "
+                         "compact ELL and each chip scores blockwise "
+                         "(indexes whose packed form exceeds even "
+                         "per-shard HBM)")
     ap.add_argument("--selection", default=None,
                     choices=["auto", "exact", "approx", "bucketed",
                              "bucketed_approx"],

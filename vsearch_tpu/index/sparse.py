@@ -107,6 +107,7 @@ class SparseIndex(DenseIndex):
         self._streamer = None  # host-streaming searcher (BoT, >HBM)
         self._block_ell = None  # device compact ELL (BoT block tier)
         self._block_fn = None
+        self._mesh_ell = None  # mesh-sharded compact ELL (block tier)
 
     def _should_host_load(self, n: int, v: int) -> bool:
         """Keep a freshly loaded index host-resident (numpy) instead of
@@ -576,9 +577,51 @@ class BoTIndex(SparseIndex):
         super().set_vectors(mat)
         self.bitmat = None
 
+    def _mesh_use_blockwise(self, shards: int) -> bool:
+        """Shard the COMPACT ELL (blockwise per-shard scoring) instead
+        of the packed bits when the per-shard packed matrix would not
+        fit a chip. Explicit 'block'/'stream' modes also shard the ELL:
+        both declare >HBM intent, and under a mesh the block tier is the
+        right answer (each shard's ELL is 1/shards the size)."""
+        if self.search_mode in ("block", "stream"):
+            return True
+        n = self.ell.shape[0]
+        rows_per = -(-n // shards)
+        return (self.search_mode == "auto"
+                and jax.default_backend() == "tpu"
+                and self._packed_bytes(rows_per, None) > self._budget())
+
     def to_mesh(self, mesh, axis_name: str = "dp"):
         """Row-shard over the mesh. The bit-packed scorer shards too, so
-        sharded BoT search keeps the Pallas MXU path per shard."""
+        sharded BoT search keeps the Pallas MXU path per shard; when
+        even the PER-SHARD packed matrix exceeds HBM, the compact ELL
+        shards instead and each chip scores blockwise (the mesh form of
+        the single-chip block tier — ~34M rows/chip ELL-resident)."""
+        if self._mesh_use_blockwise(mesh.shape[axis_name]):
+            from ..ops.ell import ELLMatrix
+            from ..parallel.sharded_search import shard_ell
+
+            cache = getattr(self, "_host_cache", None)
+            if cache is not None:
+                cols, nnz = cache
+            else:
+                cols = np.asarray(self.ell.cols)
+                nnz = np.asarray(self.ell.nnz)
+            nnz = np.ascontiguousarray(nnz, dtype=np.int32)
+            # trim + downcast exactly like the single-chip block tier
+            mx = -(-max(int(nnz.max()), 1) // 8) * 8
+            if mx < cols.shape[1]:
+                cols = np.ascontiguousarray(cols[:, :mx])
+            dt = np.uint16 if self.ell.num_cols <= 65535 else np.int32
+            cols = np.ascontiguousarray(cols, dtype=dt)
+            self._true_rows = self.ell.shape[0]
+            self._mesh_ell = shard_ell(
+                mesh, ELLMatrix(cols=cols, nnz=nnz, vals=None,
+                                num_cols=self.ell.num_cols,
+                                sentinel_padded=False), axis_name)
+            self._mesh = (mesh, axis_name)
+            self._search_fn = None
+            return self
         if self._use_bitpack():
             from ..ops.bitpack import pack_ell
             from ..parallel.sharded_search import shard_bitmat
@@ -594,9 +637,35 @@ class BoTIndex(SparseIndex):
             return self
         return super().to_mesh(mesh, axis_name)
 
+    def _mesh_blockwise_search(self, q, k: int) -> SearchResults:
+        from ..parallel.sharded_search import \
+            make_sharded_blockwise_search
+
+        mesh, axis_name = self._mesh
+        k = min(k, self._true_rows)
+        sel = self._resolved_selection()
+        sel = "bucketed" if sel.startswith("bucketed") else "exact"
+        key = ("mblk", k, sel)
+        if self._search_fn is None or self._search_fn[0] != key:
+            fn = make_sharded_blockwise_search(
+                mesh, k, self._true_rows, self._mesh_ell, axis_name,
+                selection=sel, block_rows=self.stream_block_rows)
+            self._search_fn = (key, fn)
+        ids, scores = self._search_fn[1](q, self._mesh_ell)
+        return SearchResults(np.asarray(ids), np.asarray(scores))
+
     def search(self, q_embs, k: int,
                num_candidates=None) -> SearchResults:
         mesh_info = getattr(self, "_mesh", None)
+        if getattr(self, "_mesh_ell", None) is not None:
+            q = (q_embs.astype(jnp.float32)
+                 if isinstance(q_embs, jax.Array) else
+                 jnp.asarray(np.asarray(q_embs), dtype=jnp.float32))
+            if q.shape[-1] != self.ell.num_cols:
+                raise ValueError(
+                    f"query dim {q.shape[-1]} != index dim "
+                    f"{self.ell.num_cols}")
+            return self._mesh_blockwise_search(q, k)
         tier = self._oversize_tier()
         if tier is not None:
             q = (q_embs.astype(jnp.float32)

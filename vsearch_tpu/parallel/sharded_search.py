@@ -240,3 +240,60 @@ def make_sharded_ell_search(mesh: Mesh, k: int,
         in_specs=(P(), P(axis_name, None), P(axis_name)),
         out_specs=(P(), P()), check_vma=False)
     return jax.jit(lambda q, e: fn(q, e.cols, e.nnz))
+
+
+def make_sharded_blockwise_search(mesh: Mesh, k: int, num_rows: int,
+                                  ell_template: ELLMatrix,
+                                  axis_name: str = "dp",
+                                  selection: str = "bucketed",
+                                  block_rows: int = 1 << 18,
+                                  interpret=None):
+    """Sharded >HBM-per-shard BoT search: the BLOCK tier under a mesh.
+
+    Each shard holds its rows as a COMPACT device-resident ELL (the
+    bit-packed layout is a compute format, not a storage format — see
+    ops/bitpack.bitpack_blockwise_topk) and scores them blockwise:
+    on-device repack + fused MXU scoring per row block, running local
+    top-k, then the O(shards x k) global merge over ICI. This serves
+    corpora whose PACKED form exceeds even per-shard HBM — e.g. a
+    v5e-8 holds ~34M rows/chip ELL-resident, ~270M rows per slice,
+    where the reference's vstack-on-one-device load
+    (src/ir/retriever/index.py:163-179) is bounded by one accelerator.
+
+    ``ell_template`` must already be row-sharded via ``shard_ell``
+    (binary: vals=None); ``num_rows`` is the TRUE pre-pad row count.
+    """
+    if ell_template.vals is not None:
+        raise ValueError("blockwise sharded search is binary "
+                         "(bag-of-token) only")
+    from ..ops.bitpack import bitpack_blockwise_topk
+
+    shards = mesh.shape[axis_name]
+    padded_rows = ell_template.cols.shape[0]
+    assert padded_rows % shards == 0, "shard the ELL with shard_ell first"
+    rows_per = padded_rows // shards
+    if k > num_rows:
+        raise ValueError(f"k={k} exceeds index rows {num_rows}; clamp "
+                         "k before building the sharded search")
+    # pad-displacement guard (same as make_sharded_ell_search): widen
+    # the local k by the global pad count so demoted pad candidates can
+    # never push a real row out of the merged top-k
+    k_local = min(k + (padded_rows - num_rows), rows_per)
+    num_cols = ell_template.num_cols
+
+    def local(q, cols, nnz):
+        ids, s = bitpack_blockwise_topk(
+            q, cols, nnz, num_cols=num_cols, k=k_local,
+            block_rows=block_rows, selection=selection,
+            interpret=interpret)
+        ids = ids + jax.lax.axis_index(axis_name) * rows_per
+        s = _demote_padding(ids, s, num_rows)
+        all_ids = jax.lax.all_gather(ids, axis_name)
+        all_scores = jax.lax.all_gather(s, axis_name)
+        return merge_shard_topk(all_ids, all_scores, k)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis_name, None), P(axis_name)),
+        out_specs=(P(), P()), check_vma=False)
+    return jax.jit(lambda q, e: fn(q, e.cols, e.nnz))
