@@ -247,3 +247,20 @@ def test_load_index_search_mode_passthrough(tmp_path):
     with pytest.raises(ValueError, match="dense"):
         ir.load_index(index_file=path, index_type="dense",
                       search_mode="block")
+
+
+def test_empty_query_batch_all_modes():
+    """B=0 lowered into the Pallas kernels dies with a cryptic Mosaic
+    error; every BoT path must answer the empty batch directly."""
+    v = 300
+    cols, nnz = make_binary_ell(50, v, nnz_max=6, seed=41)
+    q0 = np.zeros((0, v), np.float32)
+    for mode in ("exact", "bitpack", "block", "stream"):
+        idx = BoTIndex(search_mode=mode)
+        idx.stream_block_rows = 64
+        idx.set_ell(ELLMatrix(cols=cols, nnz=nnz, vals=None,
+                              num_cols=v, sentinel_padded=False),
+                    host_cache=(cols, nnz))
+        res = idx.search(q0, k=5)
+        assert res.ids.shape == (0, 5)
+        assert res.scores.shape == (0, 5)

@@ -270,6 +270,11 @@ class SparseIndex(DenseIndex):
                 f"query dim {q.shape[-1]} != index dim {self.ell.num_cols}")
         n = self.ell.shape[0]
         k = min(k, getattr(self, "_true_rows", None) or n)
+        if q.shape[0] == 0:
+            # the Pallas scorers reject B=0 with a cryptic Mosaic error;
+            # an empty batch has a well-defined empty answer
+            return SearchResults(np.zeros((0, k), np.int32),
+                                 np.zeros((0, k), np.float32))
         mesh_info = getattr(self, "_mesh", None)
         if mesh_info is not None:
             from ..ops.ell import ell_matvec_chunked
@@ -656,6 +661,14 @@ class BoTIndex(SparseIndex):
 
     def search(self, q_embs, k: int,
                num_candidates=None) -> SearchResults:
+        if getattr(q_embs, "shape", (1,))[0] == 0:
+            # every bit-packed path (resident/block/stream/mesh) lowers
+            # B=0 into the Pallas kernels, which reject it with a
+            # cryptic Mosaic error; answer the empty batch directly
+            rows = getattr(self, "_true_rows", None) or self.ell.shape[0]
+            k0 = min(k, rows)
+            return SearchResults(np.zeros((0, k0), np.int32),
+                                 np.zeros((0, k0), np.float32))
         mesh_info = getattr(self, "_mesh", None)
         if getattr(self, "_mesh_ell", None) is not None:
             q = (q_embs.astype(jnp.float32)
