@@ -358,3 +358,37 @@ def test_save_pretrained_preserves_vocab_id_gaps(tmp_path):
     r.save_pretrained(str(tmp_path / "ckpt"))
     reloaded = load_vocab(str(tmp_path / "ckpt" / "vocab.txt"))
     assert reloaded == tok.vocab
+
+
+def test_beta_rerank_over_block_tier(retriever):
+    """The wiki21m-scale user path: BoT first stage on the BLOCK tier
+    (>HBM oversize) + parametric rerank; ranking must match the same
+    flow over the resident index."""
+    retriever.build_index(CORPUS, batch_size=4,
+                          index_type="bag_of_token")
+    res_resident = retriever.retrieve(["theory of relativity physics"],
+                                      k=3, rerank=True)
+    idx = retriever.index
+    cols = np.asarray(idx.ell.cols)
+    nnz = np.asarray(idx.ell.nnz)
+    from vsearch_tpu.index import BoTIndex
+    from vsearch_tpu.ops.ell import ELLMatrix
+
+    blk = BoTIndex(search_mode="block")
+    blk.stream_block_rows = 64
+    blk.set_ell(ELLMatrix(cols=cols, nnz=nnz, vals=None,
+                          num_cols=idx.ell.num_cols,
+                          sentinel_padded=idx.ell.sentinel_padded),
+                host_cache=(cols, nnz))
+    blk.data = idx.data  # rerank needs the passage texts
+    retriever.index = blk
+    try:
+        res_block = retriever.retrieve(["theory of relativity physics"],
+                                       k=3, rerank=True)
+    finally:
+        retriever.index = idx
+    np.testing.assert_array_equal(np.asarray(res_block.ids),
+                                  np.asarray(res_resident.ids))
+    np.testing.assert_allclose(np.asarray(res_block.scores),
+                               np.asarray(res_resident.scores),
+                               rtol=2e-2, atol=2e-2)
