@@ -82,3 +82,38 @@ def test_sharded_bitpack_k_exceeds_rows_raises(mesh, rng):
     bm = shard_bitmat(mesh, pack_dense(dense))
     with pytest.raises(ValueError, match="exceeds index rows"):
         make_sharded_bitpack_search(mesh, k=101, bitmat=bm)
+
+
+def test_sharded_blockwise_guards(mesh, rng):
+    """make_sharded_blockwise_search rejects k > rows and real-valued
+    (vals) ELLs; pad demotion keeps ids in range with negative-free
+    binary scores."""
+    from vsearch_tpu.ops.ell import ELLMatrix
+    from vsearch_tpu.parallel.sharded_search import (
+        make_sharded_blockwise_search, shard_ell)
+
+    n, v = 90, 256
+    cols = np.stack([rng.choice(v, size=5, replace=False)
+                     for _ in range(n)]).astype(np.int32)
+    nnz = np.full(n, 5, np.int32)
+    ell = shard_ell(mesh, ELLMatrix(cols=cols, nnz=nnz, vals=None,
+                                    num_cols=v, sentinel_padded=False))
+    with pytest.raises(ValueError, match="exceeds index rows"):
+        make_sharded_blockwise_search(mesh, k=91, num_rows=n,
+                                      ell_template=ell)
+
+    vals = np.ones((n, 5), np.float32)
+    ell_v = shard_ell(mesh, ELLMatrix(cols=cols, nnz=nnz, vals=vals,
+                                      num_cols=v, sentinel_padded=False))
+    with pytest.raises(ValueError, match="binary"):
+        make_sharded_blockwise_search(mesh, k=5, num_rows=n,
+                                      ell_template=ell_v)
+
+    fn = make_sharded_blockwise_search(mesh, k=80, num_rows=n,
+                                       ell_template=ell, block_rows=16,
+                                       selection="exact")
+    q = np.abs(rng.normal(size=(2, v))).astype(np.float32)
+    ids, scores = fn(q, ell)
+    ids = np.asarray(ids)
+    assert (ids < n).all() and (ids >= 0).all()
+    assert np.isfinite(np.asarray(scores)).all()
