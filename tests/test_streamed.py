@@ -163,6 +163,69 @@ def test_blockwise_matches_resident_bitpack():
                                np.asarray(scores_r), rtol=1e-5)
 
 
+def test_blockwise_fused_merge_matches_two_step():
+    """The fused bucketed path (one top_k over [B, m+k] per block) must
+    equal the composition it replaced — per-block bucketed top-k then
+    an explicit running merge — given the SAME kernel keys (same
+    bucket, so identical collisions/quantization). Every returned
+    (id, score) pair must also be a genuine row with that true score
+    up to the key splice's <=2^-13 relative quantization."""
+    import jax.numpy as jnp
+
+    from vsearch_tpu.ops.bitpack import (BitMatrix, _pack_fn,
+                                         bitpack_blockwise_topk,
+                                         bitpack_bucketed_topk)
+
+    v = 500
+    n, block, k, bucket = 2500, 1024, 16, 16
+    rng = np.random.default_rng(31)
+    nnz_pad = 8
+    nnz = rng.integers(4, nnz_pad + 1, size=n).astype(np.int32)
+    cols = np.zeros((n, nnz_pad), dtype=np.int32)
+    for i in range(n):
+        cols[i, : nnz[i]] = rng.choice(v, size=nnz[i], replace=False)
+    q = rng.random((3, v)).astype(np.float32)
+
+    ids_f, s_f = bitpack_blockwise_topk(
+        jnp.asarray(q), jnp.asarray(cols.astype(np.uint16)),
+        jnp.asarray(nnz), num_cols=v, k=k, block_rows=block,
+        selection="bucketed", bucket=bucket)
+    ids_f, s_f = np.asarray(ids_f), np.asarray(s_f)
+
+    # reference: per-block bucketed top-k + explicit merge
+    pack = _pack_fn(block, nnz_pad, v, True)
+    best_s = np.full((3, k), -np.inf, np.float32)
+    best_i = np.zeros((3, k), np.int32)
+    for row0 in range(0, n, block):
+        ce = cols[row0: row0 + block]
+        ne = nnz[row0: row0 + block]
+        true_rows = ce.shape[0]
+        if true_rows < block:
+            ce = np.pad(ce, ((0, block - true_rows), (0, 0)))
+            ne = np.pad(ne, ((0, block - true_rows),))
+        bm = BitMatrix(words=pack(jnp.asarray(ce), jnp.asarray(ne)),
+                       num_rows=true_rows, num_cols=v)
+        i_b, s_b = bitpack_bucketed_topk(jnp.asarray(q), bm, k=k,
+                                         bucket=bucket, interpret=True)
+        cat_s = np.concatenate([best_s, np.asarray(s_b)], axis=1)
+        cat_i = np.concatenate([best_i, np.asarray(i_b) + row0], axis=1)
+        sel = np.argsort(-cat_s, axis=1, kind="stable")[:, :k]
+        best_s = np.take_along_axis(cat_s, sel, axis=1)
+        best_i = np.take_along_axis(cat_i, sel, axis=1)
+
+    np.testing.assert_array_equal(np.sort(s_f, 1), np.sort(best_s, 1))
+    # id/score pairs are genuine rows at their true scores (the kernel
+    # consumes bf16-rounded queries, so score in that basis; remaining
+    # slack is the key splice's <=2^-13 relative quantization)
+    qb = np.asarray(jnp.asarray(q).astype(jnp.bfloat16)
+                    .astype(jnp.float32))
+    for bq in range(3):
+        for j in range(k):
+            r = ids_f[bq, j]
+            true = np.float32(qb[bq, cols[r, : nnz[r]]].sum())
+            assert abs(true - s_f[bq, j]) <= 2 ** -12 * max(true, 1.0)
+
+
 def test_blockwise_k_exceeds_tail():
     """Tail block shorter than k must pad, not crash, and results stay
     exact vs host scoring."""

@@ -370,31 +370,14 @@ def _make_bucketed_kernel(num_ktiles: int, row_block: int, b: int,
     return kernel
 
 
-def bitpack_bucketed_topk(q: jax.Array, bitmat: BitMatrix, k: int,
-                          bucket: int = BUCKET,
-                          row_block: int = ROW_BLOCK,
-                          interpret: Optional[bool] = None,
-                          approx_final: bool = False,
-                          recall_target: float = 0.97
-                          ) -> Tuple[jax.Array, jax.Array]:
-    """(ids, scores) [B, k] via the fused bucketed kernel.
-
-    The full [N, B] score matrix never exists in HBM; candidates are
-    bucket maxima (N/bucket of them), merged by one small top-k. Exact
-    up to (a) <=2^-13 relative score quantization and (b) intra-bucket
-    collisions among the true top-k (see _make_bucketed_kernel).
-    ``approx_final=True`` additionally uses approx_max_k for the merge.
-    """
+def _bucketed_keys(q: jax.Array, bitmat: BitMatrix, bucket: int,
+                   row_block: int, interpret: bool) -> jax.Array:
+    """[m, B] int32 candidate keys from the fused score+bucket kernel
+    (m = padded_rows / bucket). Shared by bitpack_bucketed_topk and the
+    blockwise tier's fused-merge path."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if k * bucket > bitmat.num_rows:
-        # fewer valid buckets than k is possible (each bucket holds up
-        # to ``bucket`` valid rows) -> the merge could emit -inf junk;
-        # exact selection is cheap at such small sizes anyway
-        return bitpack_topk_search(q, bitmat, k=k, interpret=interpret)
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
     n_pad, w = bitmat.words.shape
     if n_pad % row_block or row_block & (row_block - 1):
         # grid truncation would skip tail rows; the key splice uses
@@ -426,7 +409,35 @@ def bitpack_bucketed_topk(q: jax.Array, bitmat: BitMatrix, k: int,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
-    keys = f(bitmat.words, qT)  # [m, b] int32
+    return f(bitmat.words, qT)
+
+
+def bitpack_bucketed_topk(q: jax.Array, bitmat: BitMatrix, k: int,
+                          bucket: int = BUCKET,
+                          row_block: int = ROW_BLOCK,
+                          interpret: Optional[bool] = None,
+                          approx_final: bool = False,
+                          recall_target: float = 0.97
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """(ids, scores) [B, k] via the fused bucketed kernel.
+
+    The full [N, B] score matrix never exists in HBM; candidates are
+    bucket maxima (N/bucket of them), merged by one small top-k. Exact
+    up to (a) <=2^-13 relative score quantization and (b) intra-bucket
+    collisions among the true top-k (see _make_bucketed_kernel).
+    ``approx_final=True`` additionally uses approx_max_k for the merge.
+    """
+    if k * bucket > bitmat.num_rows:
+        # fewer valid buckets than k is possible (each bucket holds up
+        # to ``bucket`` valid rows) -> the merge could emit -inf junk;
+        # exact selection is cheap at such small sizes anyway
+        return bitpack_topk_search(q, bitmat, k=k, interpret=interpret)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_pad = bitmat.words.shape[0]
+    kb = row_block // bucket
+    m = n_pad // bucket
+    keys = _bucketed_keys(q, bitmat, bucket, row_block, interpret)
     idx_mask = row_block - 1
     local = keys & idx_mask
     scores = jax.lax.bitcast_convert_type(keys & ~idx_mask, jnp.float32)
@@ -447,6 +458,7 @@ def bitpack_blockwise_topk(q: jax.Array, cols: jax.Array,
                            nnz: jax.Array, num_cols: int, k: int,
                            block_rows: int = 1 << 18,
                            selection: str = "bucketed",
+                           bucket: int = 2 * BUCKET,
                            interpret: Optional[bool] = None
                            ) -> Tuple[jax.Array, jax.Array]:
     """(ids, scores) [B, k] over a DEVICE-RESIDENT compact ELL whose
@@ -467,7 +479,15 @@ def bitpack_blockwise_topk(q: jax.Array, cols: jax.Array,
     Exactness: per-block results merge into a running global top-k —
     identical to resident scoring under selection='exact';
     selection='bucketed' applies the fused bucketed kernel per block
-    (recall ~0.9998 at k=100, same tradeoff as the resident path).
+    and merges the running best INTO the per-block candidate top-k
+    (one lax.top_k over [B, m+k] per block instead of a per-block
+    [B, m] top-k plus a separate [B, 2k] merge).
+
+    ``bucket`` is the kernel's row fold (default 16 here vs 8 for the
+    resident path): per block only the block's OWN top-k competes, so
+    a true hit is lost only when a same-bucket row scores between it
+    and the global k-th — measured recall stays 1.0 at 21M/k=100 while
+    selection cost halves (probe: scripts/probe_block_parts.py).
     """
     if selection not in ("exact", "bucketed"):
         raise ValueError(f"unknown selection {selection!r}")
@@ -485,23 +505,38 @@ def bitpack_blockwise_topk(q: jax.Array, cols: jax.Array,
     pack = _pack_fn(block_rows, nnz_pad, num_cols, interpret)
     q = q.astype(jnp.float32)
 
-    def block_topk(cols_blk, nnz_blk, true_rows: int):
+    idx_mask = ROW_BLOCK - 1
+    kb = ROW_BLOCK // bucket
+
+    def step(best_s, best_i, cols_blk, nnz_blk, true_rows: int, row0):
+        """Score one packed block and merge it into the running best.
+
+        Bucketed blocks fuse the merge: candidate keys decode to
+        scores, the carried best is appended, and ONE top_k over
+        [B, m+k] selects; winners decode their global row id from the
+        key's id-splice bits (in-block) or gather it from the carried
+        ids (pos >= m)."""
         bm = BitMatrix(words=pack(cols_blk.astype(jnp.int32), nnz_blk),
                        num_rows=true_rows, num_cols=num_cols)
         kloc = min(k, true_rows)
-        if selection == "bucketed" and kloc * BUCKET <= true_rows:
-            ids, s = bitpack_bucketed_topk(q, bm, k=kloc,
-                                           interpret=interpret)
-        else:
-            ids, s = bitpack_topk_search(q, bm, k=kloc,
-                                         interpret=interpret)
-        if kloc < k:  # short tail block: pad so merge shapes line up
-            ids = jnp.pad(ids, ((0, 0), (0, k - kloc)))
-            s = jnp.pad(s, ((0, 0), (0, k - kloc)),
-                        constant_values=-jnp.inf)
-        return ids, s
-
-    def merge(best_s, best_i, s, ids, row0):
+        if selection == "bucketed" and kloc * bucket <= true_rows:
+            keys = _bucketed_keys(q, bm, bucket, ROW_BLOCK, interpret)
+            m = keys.shape[0]
+            keysT = keys.T  # [b, m]
+            scores = jax.lax.bitcast_convert_type(
+                keysT & ~idx_mask, jnp.float32)
+            scores = jnp.where(keysT < 0, -jnp.inf, scores)
+            cat_s = jnp.concatenate([scores, best_s], axis=1)
+            s2, pos = jax.lax.top_k(cat_s, k)
+            in_blk = pos < m
+            pos_blk = jnp.minimum(pos, m - 1)
+            sel_keys = jnp.take_along_axis(keysT, pos_blk, axis=1)
+            gid = ((pos_blk // kb) * ROW_BLOCK + (sel_keys & idx_mask)
+                   + row0)
+            carried = jnp.take_along_axis(
+                best_i, jnp.maximum(pos - m, 0), axis=1)
+            return s2, jnp.where(in_blk, gid, carried)
+        ids, s = bitpack_topk_search(q, bm, k=kloc, interpret=interpret)
         cat_s = jnp.concatenate([best_s, s], axis=1)
         cat_i = jnp.concatenate([best_i, ids + row0], axis=1)
         s2, sel = jax.lax.top_k(cat_s, k)
@@ -517,8 +552,8 @@ def bitpack_blockwise_topk(q: jax.Array, cols: jax.Array,
                 cols, (i * block_rows, 0), (block_rows, nnz_pad))
             nblk = jax.lax.dynamic_slice(nnz, (i * block_rows,),
                                          (block_rows,))
-            ids, s = block_topk(cblk, nblk, block_rows)
-            return merge(bs, bi, s, ids, i * block_rows), None
+            return step(bs, bi, cblk, nblk, block_rows,
+                        i * block_rows), None
 
         (best_s, best_i), _ = jax.lax.scan(
             body, (best_s, best_i),
@@ -531,9 +566,8 @@ def bitpack_blockwise_topk(q: jax.Array, cols: jax.Array,
                          ((0, block_rows - tail), (0, 0)))
         nnz_t = jnp.pad(nnz[n_full * block_rows:],
                         ((0, block_rows - tail),))
-        ids, s = block_topk(cols_t, nnz_t, tail)
-        best_s, best_i = merge(best_s, best_i, s, ids,
-                               n_full * block_rows)
+        best_s, best_i = step(best_s, best_i, cols_t, nnz_t, tail,
+                              n_full * block_rows)
     return best_i, best_s
 
 
