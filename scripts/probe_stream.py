@@ -70,7 +70,12 @@ def main():
                     help="override BoTIndex.stream_block_rows for "
                          "stage C (0 = class default); use to sweep "
                          "block sizes for the block tier")
+    ap.add_argument("--b-list", type=str, default="128,1024",
+                    help="comma-separated query batch sizes for the "
+                         "stage B/C sweeps (per-block pack cost is "
+                         "fixed, so larger B amortizes it)")
     args = ap.parse_args()
+    b_list = tuple(int(x) for x in args.b_list.split(",") if x)
 
     from vsearch_tpu.utils.claim_guard import register_tpu_process
 
@@ -153,7 +158,7 @@ def main():
         stage_b = {"rows": n_b, "gen_s": round(gen_s, 1),
                    "sweep_gb": round(bytes_per_sweep / 1e9, 2),
                    "blocks": s.n_blocks}
-        for b in (128, 1024):
+        for b in b_list:
             qb = make_queries(b, seed=3)
             ids, scores = s.search(qb, k)  # compile sweep
             t0 = time.perf_counter()
@@ -202,7 +207,7 @@ def main():
     stage_c["ell_upload_s"] = round(time.perf_counter() - t0, 1)
     stage_c["ell_device_gb"] = round(
         (cols_d.nbytes + nnz_d.nbytes) / 1e9, 2)
-    for b in (128, 1024):
+    for b in b_list:
         qb = make_queries(b, seed=3)
         idx.search(qb, k=k)  # compile sweep
         t0 = time.perf_counter()

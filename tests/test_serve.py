@@ -529,3 +529,114 @@ def test_coalescer_fuzz_matches_serial():
                                + (1000.0 if rerank else 0.0) + j
                                for j in range(k)] for q in qs])
         np.testing.assert_allclose(np.asarray(scores), expect)
+
+
+def _item(queries, k, tenant, rerank=False):
+    """Build a coalescer queue item (dispatcher tuple layout)."""
+    kind = "str" if isinstance(queries[0], str) else "vec"
+    return (list(queries), (k, kind), rerank, threading.Event(), {},
+            tenant)
+
+
+def test_coalescer_tenant_lead_rotation():
+    """The lead tenant rotates round-robin: a tenant with many small
+    pending requests cannot win every wakeup against another tenant's
+    single larger request (pre-tenant policy picked the globally
+    smallest group every time until the pass-over bound)."""
+    from vsearch_tpu.serve import SearchCoalescer
+
+    co = SearchCoalescer(lambda *a, **kw: (_ for _ in ()).throw(
+        AssertionError("dispatcher must stay idle")), max_queries=8)
+
+    a1 = [_item(["a1"], 2, "A"), _item(["a2"], 2, "A"),
+          _item(["a3"], 2, "A")]
+    b = _item(["b0", "b1", "b2", "b3"], 3, "B")  # bigger AND rarer
+    sel1 = co._select(a1 + [b])
+    assert all(it[5] == "A" for it in sel1)  # first-seen tenant leads
+
+    # next wakeup: fresh A singletons have arrived; rotation hands the
+    # lead to B even though A's group is still the smaller one
+    a2 = [_item(["a4"], 2, "A"), _item(["a5"], 2, "A")]
+    sel2 = co._select([b] + a2)
+    assert sel2 == [b]
+    assert co.tenant_leads == {"A": 1, "B": 1}
+
+    # and back to A
+    sel3 = co._select(a2)
+    assert all(it[5] == "A" for it in sel3)
+    assert co.tenant_leads["A"] == 2
+
+
+def test_coalescer_cross_tenant_coriding():
+    """Same-(k, kind, rerank) requests from different tenants merge
+    into ONE device call: tenant fairness must not cost coalescing
+    throughput when the groups are compatible anyway."""
+    from vsearch_tpu.serve import SearchCoalescer
+
+    co = SearchCoalescer(lambda *a, **kw: None, max_queries=8)
+    items = [_item(["a"], 2, "A"), _item(["b"], 2, "B"),
+             _item(["c"], 2, "C")]
+    sel = co._select(list(items))
+    assert {it[5] for it in sel} == {"A", "B", "C"}
+
+    # budget still binds: co-riders stop at max_queries
+    co2 = SearchCoalescer(lambda *a, **kw: None, max_queries=2)
+    sel2 = co2._select(list(items))
+    assert len(sel2) == 2 and sel2[0][5] == "A"
+
+
+def test_coalescer_tenant_flood_fairness():
+    """Threaded end-to-end: tenant A floods singletons; tenant B's
+    incompatible (different-k) request is served within ~one rotation,
+    not after the pass-over bound."""
+    import time
+
+    from vsearch_tpu.serve import SearchCoalescer
+
+    stop = threading.Event()
+
+    def search(queries, k, rerank, n_real=None):
+        time.sleep(0.03)
+        ids = np.asarray([[1] * k for _ in queries])
+        return ids, ids.astype(np.float32)
+
+    co = SearchCoalescer(search, max_queries=8)
+
+    def spammer():
+        while not stop.is_set():
+            co.submit(["small"], k=2, rerank=False, tenant="A")
+
+    threads = [threading.Thread(target=spammer) for _ in range(3)]
+    for t in threads:
+        t.start()
+    time.sleep(0.1)
+    t0 = time.time()
+    ids, _ = co.submit(["b0", "b1"], k=3, rerank=False, tenant="B")
+    b_wait = time.time() - t0
+    stop.set()
+    for t in threads:
+        t.join()
+    assert np.asarray(ids).shape == (2, 3)
+    # rotation serves B on the wakeup after its arrival: its wait is
+    # bounded by ~2 device calls, far under the pass-over fallback
+    assert b_wait < 0.5
+    assert co.tenant_leads["B"] >= 1
+
+
+def test_search_tenant_http(server):
+    """The tenant field flows HTTP -> coalescer; /stats exposes the
+    per-tenant lead breakdown once real tenants appear; a non-string
+    tenant is a 400, not a server error."""
+    out = _post(server + "/search",
+                {"queries": ["green tea"], "k": 2, "tenant": "acme"})
+    assert len(out["ids"][0]) == 2
+    _post(server + "/search",
+          {"queries": ["mars"], "k": 2, "tenant": "globex"})
+    stats = _get(server + "/stats")
+    leads = stats["tenant_device_leads"]
+    assert leads.get("acme", 0) >= 1 and leads.get("globex", 0) >= 1
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server + "/search",
+              {"queries": ["tea"], "tenant": 7})
+    assert ei.value.code == 400

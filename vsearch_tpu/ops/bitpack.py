@@ -132,22 +132,28 @@ def _make_pack_kernel(nnz_pad: int, row_block: int):
         native sublane-broadcast path; per-tile ``acc.T`` lands the
         output directly in row-major [N, num_words] at full speed.
 
-    Invalid slots are pre-masked to column -1, which maps to word -1
-    and can never match the nonnegative word-id vector.
+    Invalid slots are pre-masked to word -1, which can never match the
+    nonnegative word-id vector.
+
+    The word id and bit value of each nonzero are data-independent per
+    slot, so they are hoisted OUT of the kernel into one fused XLA
+    elementwise pass over [n, nnz_pad] (see ``_pack_fn``): the unrolled
+    inner loop shrinks from ~9 vector ops (2 divmods, mul, add, shift,
+    cmp, select, or) to 3 (cmp, select, or). The extra input stream
+    (bitv alongside word) costs ~134 MB of HBM reads per 262k-row
+    block — sub-ms against the VPU work it removes.
     """
     from jax.experimental import pallas as pl
 
-    def kernel(colsT_ref, out_ref):
+    def kernel(wordT_ref, bitvT_ref, out_ref):
         t = pl.program_id(1)
         wid = (jax.lax.broadcasted_iota(jnp.int32, (LANES, row_block), 0)
                + t * LANES)
         acc = jnp.zeros((LANES, row_block), jnp.uint32)
         for j in range(nnz_pad):
-            c = colsT_ref[j:j + 1, :]  # [1, row_block] sublane slice
-            word = (c // TILE_BITS) * LANES + (c % LANES)
-            bitv = (jnp.uint32(1)
-                    << ((c % TILE_BITS) // LANES).astype(jnp.uint32))
-            acc = acc | jnp.where(word == wid, bitv, jnp.uint32(0))
+            w = wordT_ref[j:j + 1, :]  # [1, row_block] sublane slice
+            acc = acc | jnp.where(w == wid, bitvT_ref[j:j + 1, :],
+                                  jnp.uint32(0))
         out_ref[:] = acc.T
 
     return kernel
@@ -173,12 +179,22 @@ def _pack_fn(n: int, nnz_pad: int, v: int, interpret: bool):
         valid = jnp.arange(nnz_pad)[None, :] < nnz[:, None]
         c = jnp.where(valid & (cols >= 0) & (cols < v), cols, -1)
         c = jnp.pad(c, ((0, n_pad - n), (0, 0)), constant_values=-1)
+        # hoist the per-slot word/bit arithmetic out of the unrolled
+        # kernel (one fused elementwise pass here vs nnz_pad copies of
+        # it inside every program); invalid slots keep word -1
+        word = jnp.where(c < 0, -1,
+                         (c // TILE_BITS) * LANES + (c % LANES))
+        bitv = (jnp.uint32(1)
+                << ((c % TILE_BITS) // LANES).astype(jnp.uint32))
         f = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((n_pad, num_words),
                                            jnp.uint32),
             grid=(n_pad // row_block, num_words // LANES),
             in_specs=[pl.BlockSpec((nnz_pad, row_block),
+                                   lambda i, t: (0, i),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((nnz_pad, row_block),
                                    lambda i, t: (0, i),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((row_block, LANES),
@@ -188,7 +204,7 @@ def _pack_fn(n: int, nnz_pad: int, v: int, interpret: bool):
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )
-        return f(c.T)
+        return f(word.T, bitv.T)
 
     return pack
 

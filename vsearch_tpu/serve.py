@@ -56,6 +56,16 @@ class SearchCoalescer:
     pending group first (bounded by MAX_PASS_OVER so big requests
     can't starve) — a batch-256 request adds at most one small call's
     latency to singletons arriving behind it, not its whole runtime.
+
+    Tenant fairness: requests may carry a tenant id; the tenant that
+    LEADS each device call rotates round-robin over tenants with
+    pending work, so a flood of small requests from one tenant cannot
+    monopolize wakeups against another tenant's trickle. Within the
+    leading tenant the size-fair policy above applies unchanged, and
+    same-group requests from other tenants still co-ride in the same
+    call (search latency is flat in batch size, so co-riding is free
+    throughput, not a fairness cost). Single-tenant traffic schedules
+    exactly as before.
     """
 
     # a buffered request may be passed over (smaller traffic served
@@ -68,12 +78,18 @@ class SearchCoalescer:
         self._max_queries = max_queries
         self._q: queue.Queue = queue.Queue()
         self._passed_over = 0  # dispatcher-thread only
+        # round-robin lead rotation (dispatcher-thread only): tenants
+        # in first-seen order; index of the last call's lead tenant
+        self._tenant_order: list = []
+        self._rr_pos = 0
         self.device_calls = 0  # observability: compare vs request count
+        self.tenant_leads: Dict[str, int] = defaultdict(int)
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="search-coalescer")
         self._thread.start()
 
-    def submit(self, queries, k: int, rerank: bool):
+    def submit(self, queries, k: int, rerank: bool,
+               tenant: str = "-"):
         if isinstance(queries, str):
             # list('text') would explode a bare string into characters
             queries = [queries]
@@ -96,7 +112,7 @@ class SearchCoalescer:
             done = threading.Event()
             slot: Dict[str, Any] = {}
             self._q.put((queries[start: start + step], (k, kind), rerank,
-                         done, slot))
+                         done, slot, tenant))
             pending.append((done, slot))
         for done, _ in pending:
             done.wait()
@@ -109,14 +125,33 @@ class SearchCoalescer:
         return (np.concatenate([s["ids"] for _, s in pending]),
                 np.concatenate([s["scores"] for _, s in pending]))
 
+    def _next_lead(self, pending) -> str:
+        """Round-robin lead tenant: the first tenant at or after the
+        rotation cursor that has buffered work. Tenants enter the
+        rotation in first-seen order and stay (the order list is tiny
+        and idle tenants cost one skip per wakeup)."""
+        for item in pending:
+            if item[5] not in self._tenant_order:
+                self._tenant_order.append(item[5])
+        have = {item[5] for item in pending}
+        n = len(self._tenant_order)
+        for off in range(n):
+            t = self._tenant_order[(self._rr_pos + off) % n]
+            if t in have:
+                self._rr_pos = (self._rr_pos + off + 1) % n
+                return t
+        raise AssertionError("pending tenants missing from rotation")
+
     def _select(self, pending):
         """Pick the items for the next device call from the buffered
-        requests: the (k, rerank) group with the fewest total queries
-        runs first (a giant request's chunks then add at most one
-        small call's latency to singletons behind them, not the whole
-        giant), smallest requests first within the group, up to one
-        call's query budget. The oldest buffered item is passed over at
-        most MAX_PASS_OVER times before its group is forced."""
+        requests: the round-robin lead tenant's (k, rerank) group with
+        the fewest total queries runs first (a giant request's chunks
+        then add at most one small call's latency to singletons behind
+        them, not the whole giant), smallest requests first within the
+        group, topped up with other tenants' same-group requests as
+        free co-riders, up to one call's query budget. The oldest
+        buffered item is passed over at most MAX_PASS_OVER times
+        before it is forced regardless of tenant or size."""
         groups: Dict[Any, list] = defaultdict(list)
         for item in pending:
             groups[(item[1], item[2])].append(item)
@@ -137,12 +172,27 @@ class SearchCoalescer:
                 items.append(it)
                 total += len(it[0])
             self._passed_over = 0
+            self.tenant_leads[oldest[5]] += 1
             return items
-        key = min(groups, key=lambda g: sum(len(it[0])
-                                            for it in groups[g]))
+        lead = self._next_lead(pending)
+        lead_groups: Dict[Any, list] = defaultdict(list)
+        for item in pending:
+            if item[5] == lead:
+                lead_groups[(item[1], item[2])].append(item)
+        key = min(lead_groups, key=lambda g: sum(len(it[0])
+                                                 for it in lead_groups[g]))
         items, total = [], 0
-        for it in sorted(groups[key], key=lambda it: len(it[0])):
+        for it in sorted(lead_groups[key], key=lambda it: len(it[0])):
             if items and total + len(it[0]) > self._max_queries:
+                break
+            items.append(it)
+            total += len(it[0])
+        # co-riders: other tenants' requests in the SAME group share
+        # the device call for free (latency is flat in batch size)
+        chosen = {id(it) for it in items}
+        riders = [it for it in groups[key] if id(it) not in chosen]
+        for it in sorted(riders, key=lambda it: len(it[0])):
+            if total + len(it[0]) > self._max_queries:
                 break
             items.append(it)
             total += len(it[0])
@@ -150,6 +200,7 @@ class SearchCoalescer:
             self._passed_over = 0
         else:
             self._passed_over += 1
+        self.tenant_leads[lead] += 1
         return items
 
     @staticmethod
@@ -243,8 +294,8 @@ class RetrieverService:
         return np.asarray(res.ids), np.asarray(res.scores)
 
     def search(self, queries, k: Optional[int] = None,
-               rerank: bool = False, return_texts: bool = False
-               ) -> Dict[str, Any]:
+               rerank: bool = False, return_texts: bool = False,
+               tenant: Optional[str] = None) -> Dict[str, Any]:
         # validate here, not (only) in the coalescer, so the
         # --no_coalesce lock path rejects bad payloads with the same
         # message instead of dying deep inside encode()
@@ -265,9 +316,12 @@ class RetrieverService:
                 # into default_k results
                 raise BadRequest("k must be >= 1")
         k = k or self.default_k
+        if tenant is not None and not isinstance(tenant, str):
+            raise BadRequest("tenant must be a string")
         if self._coalescer is not None:
             ids, scores = self._coalescer.submit(queries, k,
-                                                 bool(rerank))
+                                                 bool(rerank),
+                                                 tenant=tenant or "-")
         else:
             with self._lock:
                 ids, scores = self._device_search(queries, k, rerank)
@@ -305,6 +359,10 @@ class RetrieverService:
                "embed": self.embed_timer.summary()}
         if self._coalescer is not None:
             out["coalesced_device_calls"] = self._coalescer.device_calls
+            leads = self._coalescer.tenant_leads
+            if leads and (len(leads) > 1 or "-" not in leads):
+                # only surface the breakdown once tenants are in play
+                out["tenant_device_leads"] = dict(leads)
         return out
 
 
@@ -351,7 +409,8 @@ def make_handler(service: RetrieverService):
                         req["queries"], k=req.get("k"),
                         rerank=bool(req.get("rerank", False)),
                         return_texts=bool(req.get("return_texts",
-                                                  False)))
+                                                  False)),
+                        tenant=req.get("tenant"))
                     self._reply(200, out)
                 elif self.path == "/embed":
                     if "texts" not in req:
