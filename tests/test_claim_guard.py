@@ -79,3 +79,37 @@ def test_register_is_idempotent_and_unlinks_on_exit(tmp_path):
     while (tmp_path / pid).exists() and time.monotonic() < deadline:
         time.sleep(0.05)
     assert not (tmp_path / pid).exists()
+
+
+def test_cleanup_excludes_kinds(tmp_path, monkeypatch):
+    """A deliberately-running 'serve' must survive cleanup unless the
+    caller explicitly opts in (ADVICE r4: registry membership alone is
+    not staleness); its registry record stays for a later opt-in pass."""
+    monkeypatch.setattr(claim_guard, "PID_DIR", tmp_path)
+    child = subprocess.Popen(
+        [sys.executable, "-c",
+         "import os, sys, time;"
+         f"os.environ['VSEARCH_TPU_PID_DIR']={str(tmp_path)!r};"
+         "sys.path.insert(0, os.getcwd());"
+         "from vsearch_tpu.utils import claim_guard;"
+         "claim_guard.register_tpu_process('serve');"
+         "print('ready', flush=True);"
+         "time.sleep(300)"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        stdout=subprocess.PIPE, text=True)
+    try:
+        assert child.stdout.readline().strip() == "ready"
+        assert [(p, k) for p, k, _ in
+                claim_guard.list_registered(("serve",))] == []
+        assert claim_guard.cleanup_stale(wait_s=0.5,
+                                         exclude_kinds=("serve",)) == []
+        assert child.poll() is None  # still alive
+        assert (tmp_path / str(child.pid)).exists()
+        # opt-in pass sees and terminates it
+        assert [(p, k) for p, k, _ in claim_guard.list_registered()] \
+            == [(child.pid, "serve")]
+        assert claim_guard.cleanup_stale(wait_s=10.0) == [child.pid]
+        child.wait(timeout=10)
+    finally:
+        if child.poll() is None:
+            child.kill()

@@ -640,3 +640,30 @@ def test_search_tenant_http(server):
         _post(server + "/search",
               {"queries": ["tea"], "tenant": 7})
     assert ei.value.code == 400
+
+
+def test_coalescer_tenant_cardinality_bounded():
+    """Untrusted tenant strings must not grow dispatcher state without
+    bound (ADVICE r4): the rotation caps at MAX_TENANTS with idle
+    tenants evicted, lead counters stay bounded (evicted counts fold
+    into one aggregate), and when every slot has pending work a new
+    tenant folds into the "-" bucket instead of growing the list."""
+    from vsearch_tpu.serve import SearchCoalescer
+
+    co = SearchCoalescer(lambda *a, **kw: None, max_queries=8)
+    cap = SearchCoalescer.MAX_TENANTS
+    for i in range(cap * 3):  # one unique tenant per wakeup
+        co._select([_item([f"q{i}"], 2, f"tenant-{i}")])
+    assert len(co._tenant_order) <= cap
+    assert len(co.tenant_leads) <= cap
+    assert "-" in co._tenant_order  # fold bucket is permanent
+    assert (sum(co.tenant_leads.values()) + co.evicted_tenant_leads
+            == cap * 3)
+
+    # every rotation slot busy in ONE wakeup: overflow tenants fold
+    # into "-" and still co-ride the same device call
+    co2 = SearchCoalescer(lambda *a, **kw: None, max_queries=512)
+    pending = [_item([f"p{i}"], 2, f"t{i}") for i in range(cap + 5)]
+    sel = co2._select(list(pending))
+    assert len(co2._tenant_order) == cap
+    assert len(sel) == len(pending)  # same group: all co-ride

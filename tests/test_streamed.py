@@ -327,3 +327,30 @@ def test_empty_query_batch_all_modes():
         res = idx.search(q0, k=5)
         assert res.ids.shape == (0, 5)
         assert res.scores.shape == (0, 5)
+
+
+def test_streamer_forwards_selection():
+    """The stream tier must honor the index's resolved selection policy
+    (ADVICE r4: _get_streamer always built selection='exact', making
+    the --selection knob a silent no-op in stream mode)."""
+    v = 400
+    cols, nnz = make_binary_ell(150, v, nnz_max=8, seed=7)
+    ell = ELLMatrix(cols=cols, nnz=nnz, vals=None, num_cols=v,
+                    sentinel_padded=False)
+    idx = BoTIndex(search_mode="stream", selection="bucketed")
+    idx.stream_block_rows = 64
+    idx.set_ell(ell, host_cache=(cols, nnz))
+    assert idx._get_streamer().selection == "bucketed"
+
+    idx2 = BoTIndex(search_mode="stream", selection="exact")
+    idx2.stream_block_rows = 64
+    idx2.set_ell(ell, host_cache=(cols, nnz))
+    assert idx2._get_streamer().selection == "exact"
+
+    # 'auto' resolves by size: a small index resolves to exact
+    idx3 = BoTIndex(search_mode="stream")
+    idx3.stream_block_rows = 64
+    idx3.set_ell(ell, host_cache=(cols, nnz))
+    assert idx3._get_streamer().selection == \
+        ("bucketed" if idx3._resolved_selection().startswith("bucketed")
+         else "exact")

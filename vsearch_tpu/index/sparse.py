@@ -543,9 +543,12 @@ class BoTIndex(SparseIndex):
                 # compact ELL back once (NOT the 16-32x larger bitmat)
                 cols = np.asarray(self.ell.cols)
                 nnz = np.asarray(self.ell.nnz)
+            sel = self._resolved_selection()
             self._streamer = StreamedBitpackSearcher(
                 cols, nnz, self.ell.num_cols,
-                block_rows=self.stream_block_rows)
+                block_rows=self.stream_block_rows,
+                selection=("bucketed" if sel.startswith("bucketed")
+                           else "exact"))
         return self._streamer
 
     def _use_bitpack(self) -> bool:

@@ -72,6 +72,13 @@ class SearchCoalescer:
     # first) at most this many times before its group runs regardless —
     # bounds tail latency under a continuous stream of small requests
     MAX_PASS_OVER = 2
+    # the tenant field is untrusted client input: the rotation (scanned
+    # every device call) and the per-tenant lead counters (serialized by
+    # /stats) must stay bounded no matter how many distinct tenant
+    # strings arrive. Beyond this many live tenants, idle ones are
+    # evicted from the rotation; if every slot has buffered work, new
+    # arrivals fold into the default "-" bucket for scheduling/stats.
+    MAX_TENANTS = 64
 
     def __init__(self, search_fn, max_queries: int = 256):
         self._search_fn = search_fn
@@ -79,11 +86,14 @@ class SearchCoalescer:
         self._q: queue.Queue = queue.Queue()
         self._passed_over = 0  # dispatcher-thread only
         # round-robin lead rotation (dispatcher-thread only): tenants
-        # in first-seen order; index of the last call's lead tenant
-        self._tenant_order: list = []
+        # in first-seen order; index of the last call's lead tenant.
+        # "-" (untagged traffic / overflow fold bucket) is a permanent
+        # member so folding always has a schedulable target.
+        self._tenant_order: list = ["-"]
         self._rr_pos = 0
         self.device_calls = 0  # observability: compare vs request count
         self.tenant_leads: Dict[str, int] = defaultdict(int)
+        self.evicted_tenant_leads = 0  # leads of since-evicted tenants
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="search-coalescer")
         self._thread.start()
@@ -125,15 +135,41 @@ class SearchCoalescer:
         return (np.concatenate([s["ids"] for _, s in pending]),
                 np.concatenate([s["scores"] for _, s in pending]))
 
-    def _next_lead(self, pending) -> str:
+    def _admit(self, pending) -> Dict[str, str]:
+        """Map each pending item's raw tenant string to its bounded
+        scheduling key. Known tenants map to themselves; a new tenant
+        joins the rotation if a slot is free, else replaces an IDLE
+        (no buffered work) tenant in place — keeping the rr cursor's
+        position meaningful — else folds into the "-" bucket. The
+        rotation therefore never exceeds MAX_TENANTS entries regardless
+        of how many distinct tenant strings clients send."""
+        raw_pending = {it[5] for it in pending}
+        keys: Dict[str, str] = {}
+        # iterate in pending (first-seen) order — set order would make
+        # rotation membership, and thus the lead, hash-dependent
+        for t in dict.fromkeys(it[5] for it in pending):
+            if t in self._tenant_order:
+                keys[t] = t
+            elif len(self._tenant_order) < self.MAX_TENANTS:
+                self._tenant_order.append(t)
+                keys[t] = t
+            else:
+                for i, old in enumerate(self._tenant_order):
+                    if old != "-" and old not in raw_pending:
+                        self._tenant_order[i] = t
+                        self.evicted_tenant_leads += \
+                            self.tenant_leads.pop(old, 0)
+                        keys[t] = t
+                        break
+                else:  # every slot busy: fold into the default bucket
+                    keys[t] = "-"
+        return keys
+
+    def _next_lead(self, pending, keys: Dict[str, str]) -> str:
         """Round-robin lead tenant: the first tenant at or after the
-        rotation cursor that has buffered work. Tenants enter the
-        rotation in first-seen order and stay (the order list is tiny
-        and idle tenants cost one skip per wakeup)."""
-        for item in pending:
-            if item[5] not in self._tenant_order:
-                self._tenant_order.append(item[5])
-        have = {item[5] for item in pending}
+        rotation cursor that has buffered work. Membership is bounded
+        by ``_admit`` (idle tenants cost one skip per wakeup)."""
+        have = {keys[item[5]] for item in pending}
         n = len(self._tenant_order)
         for off in range(n):
             t = self._tenant_order[(self._rr_pos + off) % n]
@@ -152,6 +188,7 @@ class SearchCoalescer:
         free co-riders, up to one call's query budget. The oldest
         buffered item is passed over at most MAX_PASS_OVER times
         before it is forced regardless of tenant or size."""
+        keys = self._admit(pending)
         groups: Dict[Any, list] = defaultdict(list)
         for item in pending:
             groups[(item[1], item[2])].append(item)
@@ -172,12 +209,12 @@ class SearchCoalescer:
                 items.append(it)
                 total += len(it[0])
             self._passed_over = 0
-            self.tenant_leads[oldest[5]] += 1
+            self.tenant_leads[keys[oldest[5]]] += 1
             return items
-        lead = self._next_lead(pending)
+        lead = self._next_lead(pending, keys)
         lead_groups: Dict[Any, list] = defaultdict(list)
         for item in pending:
-            if item[5] == lead:
+            if keys[item[5]] == lead:
                 lead_groups[(item[1], item[2])].append(item)
         key = min(lead_groups, key=lambda g: sum(len(it[0])
                                                  for it in lead_groups[g]))
@@ -361,8 +398,13 @@ class RetrieverService:
             out["coalesced_device_calls"] = self._coalescer.device_calls
             leads = self._coalescer.tenant_leads
             if leads and (len(leads) > 1 or "-" not in leads):
-                # only surface the breakdown once tenants are in play
+                # only surface the breakdown once tenants are in play;
+                # cardinality is bounded by the coalescer's MAX_TENANTS
+                # rotation cap, so serializing in full is safe
                 out["tenant_device_leads"] = dict(leads)
+                if self._coalescer.evicted_tenant_leads:
+                    out["evicted_tenant_device_leads"] = \
+                        self._coalescer.evicted_tenant_leads
         return out
 
 

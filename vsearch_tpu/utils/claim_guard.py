@@ -89,15 +89,14 @@ def _ancestors() -> set:
     return out
 
 
-def cleanup_stale(wait_s: float = 10.0) -> List[int]:
-    """Terminate stale registered TPU processes (SIGTERM, escalate to
-    SIGKILL after ``wait_s``). Returns the list of PIDs signalled.
-    Only touches PIDs this registry recorded, and only when the live
-    process's kernel start time matches the recorded one."""
+def list_registered(exclude_kinds: tuple = ()) -> List[tuple]:
+    """Live registered TPU processes as (pid, kind, registry_file),
+    excluding this process/ancestors, dead PIDs (their records are
+    dropped), recycled PIDs, and any ``exclude_kinds``. Registry-file
+    records of skipped-by-kind processes are left in place."""
     if not PID_DIR.is_dir():
         return []
     skip = _ancestors()
-    killed: List[int] = []
     entries = []
     for f in PID_DIR.iterdir():
         try:
@@ -124,7 +123,23 @@ def cleanup_stale(wait_s: float = 10.0) -> List[int]:
             except OSError:
                 pass
             continue
-        entries.append((pid, f))
+        if rec.get("kind") in exclude_kinds:
+            continue
+        entries.append((pid, rec.get("kind", "?"), f))
+    return entries
+
+
+def cleanup_stale(wait_s: float = 10.0,
+                  exclude_kinds: tuple = ()) -> List[int]:
+    """Terminate stale registered TPU processes (SIGTERM, escalate to
+    SIGKILL after ``wait_s``). Returns the list of PIDs signalled.
+    Only touches PIDs this registry recorded, and only when the live
+    process's kernel start time matches the recorded one. Kinds in
+    ``exclude_kinds`` (e.g. a deliberately-running 'serve') are left
+    alone — registry membership alone does not prove staleness."""
+    killed: List[int] = []
+    entries = [(pid, f)
+               for pid, _kind, f in list_registered(exclude_kinds)]
     for pid, _f in entries:
         try:
             os.kill(pid, signal.SIGTERM)
