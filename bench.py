@@ -89,6 +89,119 @@ def get_bench_tokenizer():
         return WordPieceTokenizer(vocab), "python"
 
 
+def _analytic_train_flops(n_q: int, l_q: int, n_p: int, l_p: int,
+                          h: int, layers: int, inter: int, v_out: int,
+                          remat: bool) -> float:
+    """Matmul FLOPs of one VDR train step (fwd+bwd, both towers).
+
+    Counted: QKVO projections (8h^2/token), FFN (4*h*inter/token),
+    attention score+context matmuls (4*L*h/token), and the vocab head
+    (2*h*V'/token, V' lane-padded). Backward doubles the forward;
+    ``remat`` recomputes the whole encoder forward once more. The loss
+    itself ([N, V'] x [V', M] score matrix + elementwise semi terms) is
+    <1% of a tower and excluded, as are embeddings/layernorms/softmax —
+    this is the same (matmul-only) accounting behind the 129 TF/s
+    embed-roofline number in docs/ARCHITECTURE.md."""
+    v_pad = -(-v_out // 128) * 128
+
+    def fwd(n, l):
+        per_tok = layers * (8 * h * h + 4 * h * inter + 4 * l * h) \
+            + 2 * h * v_pad
+        return n * l * per_tok
+
+    mult = 4.0 if remat else 3.0
+    return mult * (fwd(n_q, l_q) + fwd(n_p, l_p))
+
+
+def train_bench(measure_steps: int = 30):
+    """Flagship train-step throughput on the real chip (VERDICT r4 #1).
+
+    bert-base VDR bi-encoder (12L/768H/30522V, shared params, bf16
+    compute), Lq=32 / Lp=256 with one hard negative per query
+    (p rows = 2B, reference biencoder layout), 4-term semi + symmetric
+    InfoNCE — the reference's deepest path (train_ir.py:107-202, fp16
+    DDP). Reports steps/s, analytic matmul TF/s, and peak HBM. Runs
+    FIRST in the bench so ``peak_bytes_in_use`` is the train step's own
+    peak, not a leftover from the 8 GB search sections."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    from vsearch_tpu.models.bert import BertConfig
+    from vsearch_tpu.models.vdr import VDREncoderConfig, VDRModule
+    from vsearch_tpu.train.loss import VDRLossConfig
+    from vsearch_tpu.train.optim import get_optimizer
+    from vsearch_tpu.train.step import (TrainBatch, TrainState,
+                                        TrainStepConfig,
+                                        make_encoder_apply,
+                                        make_train_step)
+
+    l_q, l_p = 32, 256
+    bcfg = BertConfig(dtype=jnp.bfloat16)
+    vcfg = VDREncoderConfig(bert=bcfg, max_len=l_p, shift_vocab_num=999,
+                            topk=768)
+    module = VDRModule(vcfg)
+    ids0 = jnp.ones((1, 8), jnp.int32)
+    variables = module.init(jax.random.PRNGKey(0), ids0,
+                            jnp.zeros_like(ids0), jnp.ones_like(ids0))
+    params = variables["params"]
+    tx = get_optimizer(params, learning_rate=2e-5, weight_decay=0.01)
+    scfg = TrainStepConfig(
+        encoder_type="vdr", vocab_size=bcfg.vocab_size,
+        shift_vocab_num=999,
+        loss=VDRLossConfig(semi=True, sym_loss=True, topk=768))
+    rng = np.random.default_rng(11)
+    out = {}
+    # B=32 fits without remat; B=64's [2B, Lp, V'] head logits do not —
+    # remat trades one recomputed forward for that activation memory
+    for b, remat in ((32, False), (64, True)):
+        apply = make_encoder_apply(module, deterministic=False,
+                                   remat=remat)
+        step = make_train_step(apply, apply, scfg, mesh=None,
+                               shared_params=True)
+        state = TrainState.create(params, tx)
+        batch = TrainBatch(
+            q_ids=jnp.asarray(rng.integers(999, bcfg.vocab_size,
+                                           size=(b, l_q)), jnp.int32),
+            p_ids=jnp.asarray(rng.integers(999, bcfg.vocab_size,
+                                           size=(2 * b, l_p)),
+                              jnp.int32))
+        key = jax.random.PRNGKey(5)
+        # AOT-compile: the executable's memory_analysis is the exact
+        # XLA HBM reservation (args + temps + output) — the axon
+        # backend returns None from device.memory_stats(), so runtime
+        # peak is not observable; the compiler's own budget is
+        compiled = step.lower(state, batch, key).compile()
+        try:
+            ma = compiled.memory_analysis()
+            peak = (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                    + ma.output_size_in_bytes
+                    - ma.alias_size_in_bytes)
+            out[f"train_hbm_gb_b{b}"] = round(peak / 2**30, 2)
+        except Exception:
+            pass
+        state, m = compiled(state, batch, key)  # warmup
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for i in range(measure_steps):
+            state, m = compiled(state, batch,
+                                jax.random.fold_in(key, i))
+        float(m["loss"])  # one host sync at the end
+        dt = time.perf_counter() - t0
+        sps = measure_steps / dt
+        flops = _analytic_train_flops(
+            b, l_q, 2 * b, l_p, bcfg.hidden_size,
+            bcfg.num_hidden_layers, bcfg.intermediate_size,
+            bcfg.vocab_size - 999, remat)
+        out[f"train_steps_per_s_b{b}"] = round(sps, 2)
+        out[f"train_tflops_b{b}"] = round(flops * sps / 1e12, 1)
+        del state, step, compiled, batch, m
+    del params, variables, module, tx
+    gc.collect()
+    return out
+
+
 def _require_device(timeout_s: int = 600):
     """Fail FAST with one explanatory JSON line if the TPU cannot be
     acquired: the axon claim protocol blocks ``jax.devices()`` forever
@@ -133,22 +246,59 @@ def main():
                     help="host-streamed >HBM search bench rows "
                          "(TPU only; 0 disables). 4M rows pack to "
                          "~16 GB — past the one chip's HBM budget")
+    ap.add_argument("--train-steps", type=int, default=30,
+                    help="measured steps for the flagship train-step "
+                         "bench (bert-base VDR, B=32 and B=64; "
+                         "0 disables)")
+    ap.add_argument("--kill-stale-serve", action="store_true",
+                    help="also terminate registered 'serve' processes "
+                         "before probing the device (by default a live "
+                         "server is assumed deliberate and left alone; "
+                         "bench then fails fast if it holds the claim)")
     args = ap.parse_args()
 
     # proactively clear stale registered TPU processes (leftover
-    # serve/probe PIDs) BEFORE probing the device: a wedged claim cost
+    # bench/probe PIDs) BEFORE probing the device: a wedged claim cost
     # round 3 its entire benchmark run. Only registry-recorded PIDs are
-    # touched — never command-line pattern matches.
+    # touched — never command-line pattern matches — and a running
+    # 'serve' is presumed deliberate unless --kill-stale-serve.
     from vsearch_tpu.utils.claim_guard import (cleanup_stale,
+                                               list_registered,
                                                register_tpu_process)
 
-    stale = cleanup_stale()
-    if stale:
-        print(f"# cleaned up stale TPU processes: {stale}",
+    exclude = () if args.kill_stale_serve else ("serve",)
+    targets = list_registered(exclude)
+    if targets:
+        print("# terminating registered TPU processes: "
+              + ", ".join(f"pid={p} kind={k}" for p, k, _ in targets),
               file=sys.stderr, flush=True)
+    spared = [p for p, k, _ in list_registered() if k == "serve"] \
+        if not args.kill_stale_serve else []
+    if spared:
+        print(f"# leaving live serve process(es) {spared} alone "
+              "(pass --kill-stale-serve to terminate them)",
+              file=sys.stderr, flush=True)
+    stale = cleanup_stale(exclude_kinds=exclude)
+    if stale:
         time.sleep(2.0)  # give the tunnel a beat to release the claim
     register_tpu_process("bench")
+    # persistent XLA/Mosaic compilation cache: the pack kernel alone is
+    # ~15 s of Mosaic compile per process (r4); with the cache the
+    # second-and-later processes reload it in <1 s, which is also what
+    # a production serve restart pays (VERDICT r4 item 3)
+    from vsearch_tpu.utils.compile_cache import enable_compilation_cache
+    cache_dir = enable_compilation_cache()
     _require_device()
+
+    # ---- flagship train step (bert-base VDR, fwd+bwd+AdamW) --------------
+    # FIRST: its peak-HBM reading must not include the later 8 GB
+    # search-scale buffers (memory_stats peaks are process-lifetime)
+    train_stats = {}
+    if args.train_steps:
+        import jax as _jax
+        if _jax.default_backend() == "tpu":
+            train_stats = train_bench(args.train_steps)
+
     corpus = make_corpus(args.num_passages)
     tokenizer, tok_kind = get_bench_tokenizer()
 
@@ -560,7 +710,9 @@ def main():
         "oversize_qps": round(over_qps, 1),
         "oversize_recall_vs_exact": (None if over_recall is None
                                      else round(over_recall, 4)),
+        "compile_cache": bool(cache_dir),
         "device": str(jax.devices()[0]),
+        **train_stats,
     }
     print(json.dumps(out))
 

@@ -22,6 +22,8 @@ sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(_
 from vsearch_tpu.utils.claim_guard import register_tpu_process  # noqa: E402
 
 register_tpu_process("bitpack_regret_probe")
+from vsearch_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
 from vsearch_tpu.ops.bitpack import (ROW_BLOCK, BitMatrix,
                                      bitpack_bucketed_topk,
                                      bitpack_scores)

@@ -150,4 +150,6 @@ def main():
 if __name__ == "__main__":
     from vsearch_tpu.utils.claim_guard import register_tpu_process
     register_tpu_process('probe_pack')
+    from vsearch_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+    enable_compilation_cache()
     main()

@@ -80,6 +80,8 @@ def main():
     from vsearch_tpu.utils.claim_guard import register_tpu_process
 
     register_tpu_process("probe_stream")
+    from vsearch_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+    enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp

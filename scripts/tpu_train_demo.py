@@ -158,4 +158,6 @@ def main():
 if __name__ == "__main__":
     from vsearch_tpu.utils.claim_guard import register_tpu_process
     register_tpu_process('tpu_train_demo')
+    from vsearch_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+    enable_compilation_cache()
     main()

@@ -352,3 +352,32 @@ def test_serve_search_mode_passthrough_and_validation(workdir):
                           "--search_mode", "stream"])
     with pytest.raises(SystemExit):
         prepare_retriever(args, ap)
+
+
+def test_serve_rerank_budget_message_names_oversize_tier(
+        workdir, monkeypatch, capsys):
+    """When an oversize BoT resolves to the block/stream tier, the
+    --rerank_budget rejection must name that tier, not 'the exact
+    bit-packed scorer' it bypasses (ADVICE r4: misleading diagnostic)."""
+    from vsearch_tpu.cli.build_index.binary_token_index import \
+        main as build
+    from vsearch_tpu.cli.serve import make_parser, prepare_retriever
+    from vsearch_tpu.index import BoTIndex
+
+    idx = str(workdir / "bot_tiermsg.bot.npz")
+    build(["--text_file", str(workdir / "corpus.jsonl"),
+           "--save_file", idx, "--num_shift", "5",
+           "--tokenizer", str(workdir / "ckpt"),
+           "--num_workers", "1"])
+    monkeypatch.setattr(BoTIndex, "_use_bitpack", lambda self: True)
+    monkeypatch.setattr(BoTIndex, "_oversize_tier",
+                        lambda self: "block")
+    ap = make_parser()
+    args = ap.parse_args(["--checkpoint", str(workdir / "ckpt"),
+                          "--index_file", idx,
+                          "--rerank_budget", "65536"])
+    with pytest.raises(SystemExit):
+        prepare_retriever(args, ap)
+    err = capsys.readouterr().err
+    assert "'block' tier" in err
+    assert "the exact bit-packed scorer" not in err

@@ -58,6 +58,12 @@ def make_parser() -> argparse.ArgumentParser:
                     help="serialize requests with a lock instead of "
                          "merging concurrent /search calls into one "
                          "device batch")
+    ap.add_argument("--compile_cache", default=None,
+                    help="persistent XLA compilation cache directory "
+                         "(default $VSEARCH_TPU_COMPILE_CACHE or "
+                         "~/.cache/vsearch_tpu/xla; pass '' to "
+                         "disable). Cuts restart cold-start from ~20 s "
+                         "of Mosaic/XLA compiles to sub-second reloads")
     return ap
 
 
@@ -135,7 +141,15 @@ def prepare_retriever(args, ap):
                      "(per-shard scorer + ICI top-k merge) with no "
                      "candidate/rerank stage")
         if not uses_budget:
-            path = ("the exact bit-packed scorer" if bitpacked else
+            # an oversize BoT in 'auto' mode still answers True from
+            # _use_bitpack() but actually searches through the
+            # block/stream tier — name the tier search will take, not
+            # the resident scorer it bypasses
+            tier = (idx._oversize_tier()
+                    if isinstance(idx, BoTIndex) else None)
+            path = (f"the exact on-device '{tier}' tier (blockwise "
+                    "bit-packed scoring)" if bitpacked and tier else
+                    "the exact bit-packed scorer" if bitpacked else
                     f"exact scoring (search_mode={idx.search_mode!r}, "
                     f"{idx.ell.shape[0]} rows <= exact_threshold "
                     f"{idx.exact_threshold})"
@@ -181,11 +195,15 @@ def main(argv=None):
 
     from ..serve import serve
     from ..utils.claim_guard import register_tpu_process
+    from ..utils.compile_cache import enable_compilation_cache
 
     # record this PID in the TPU-claim registry and make SIGTERM a
     # clean exit: a killed-but-not-cleanly-exited server wedges the
     # single-chip claim for every later process (round-3 postmortem)
     register_tpu_process("serve")
+    cache = enable_compilation_cache(args.compile_cache)
+    if cache:
+        logger.info("persistent compilation cache: %s", cache)
     retriever = prepare_retriever(args, ap)
     server = serve(retriever, host=args.host, port=args.port,
                    default_k=args.default_k,
