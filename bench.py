@@ -533,10 +533,11 @@ def main():
     # weighted rerank (ops/sketch.py binary_proxy_search). Reference hot
     # path: sparse-CSR matmul on one GPU (src/ir/retriever/index.py:88-94).
     alpha_qps, alpha_recall = 0.0, None
-    # measured tradeoff at 2M rows (C=256/512/1024/2048 ->
-    # 920/884/652/413 QPS at recall .716/.871/.970/.996); 1024 is the
-    # knee
-    ALPHA_C = 1024
+    # production default: C=1536 (rerank_budget 196608 at nnz_pad 128),
+    # the smallest budget measured >=0.99 recall vs exact at 2M rows
+    # (521 QPS; docs/probe_alpha_sweep.json) — bench attests the same
+    # operating point users get
+    ALPHA_C = 1536
     if args.scale_rows and jax.default_backend() == "tpu":
         from vsearch_tpu.ops.bitpack import pack_ell_device
         from vsearch_tpu.ops.ell import ELLMatrix, ell_matvec_chunked

@@ -226,9 +226,12 @@ def main():
     # keep the chunk-padded buffer unsliced (a [:n_pad] slice would
     # copy ~8 GB while the original is live -> OOM); rows past
     # num_rows=N are masked out by the bucketed kernel
+    print(f"[{time.strftime('%H:%M:%S')}] filling {n_cpad}x{nw} words...",
+          flush=True)
     words = fill(jnp.zeros((n_cpad, nw), jnp.uint32),
                  jax.random.PRNGKey(0))
     jax.block_until_ready(words)
+    print(f"[{time.strftime('%H:%M:%S')}] fill done", flush=True)
 
     rng = np.random.default_rng(1)
     q = np.zeros((B, V), dtype=np.float32)
@@ -239,6 +242,9 @@ def main():
         np.pad(q.T, ((0, vp - V), (0, 0))).astype(np.float32)
     ).astype(jnp.bfloat16)
 
+    jax.block_until_ready(qT)
+    print(f"[{time.strftime('%H:%M:%S')}] queries staged, "
+          "compiling v0...", flush=True)
     rows = []
     results = {}
     for name, fn, inter, two in (
@@ -246,6 +252,8 @@ def main():
             ("v1_pair", acc_v1, True, False),
             ("v2_twoacc", acc_v0, False, True),
             ("v1_twoacc", acc_v1, True, True)):
+        print(f"[{time.strftime('%H:%M:%S')}] variant {name}...",
+              flush=True)
         row, r = run_variant(name, fn, words, qT, inter, two)
         if row:
             rows.append(row)

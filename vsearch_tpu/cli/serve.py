@@ -52,8 +52,8 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--rerank_budget", type=int, default=None,
                     help="per-QUERY scalar-gather budget for the "
                          "sparse exact-rerank stage (candidates = "
-                         "budget // nnz_pad); default 131072 = C=1024 "
-                         "at nnz 128, the measured recall knee")
+                         "budget // nnz_pad); default 196608 = C=1536 "
+                         "at nnz 128, the measured >=0.99-recall knee")
     ap.add_argument("--no_coalesce", action="store_true",
                     help="serialize requests with a lock instead of "
                          "merging concurrent /search calls into one "

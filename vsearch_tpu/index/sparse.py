@@ -45,9 +45,13 @@ class SparseIndex(DenseIndex):
     # Per-query (not per-call) so a query's results are independent of
     # how many queries share the device call — the serve coalescer
     # merges concurrent requests into one batch, and recall must not
-    # depend on concurrent load. 131072/query = C=1024 at nnz_pad 128,
-    # the measured recall knee (docs/ARCHITECTURE.md), ~1.3 ms/query.
-    rerank_budget = 131_072
+    # depend on concurrent load. 196608/query = C=1536 at nnz_pad 128:
+    # measured 0.991 recall vs exact at 521 QPS on the 2M-row probe
+    # (docs/probe_alpha_sweep.json) — the smallest budget that clears
+    # the >=0.99 parity bar with the reference's exact CSR scoring
+    # (reference src/ir/retriever/index.py:88-94). Operators chasing
+    # QPS over parity can lower it (C=1024 -> 0.967 recall, 668 QPS).
+    rerank_budget = 196_608
 
     def __init__(self, index_file: Optional[str] = None,
                  data_file: Optional[str] = None, fp16: bool = True,
