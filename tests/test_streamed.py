@@ -226,6 +226,95 @@ def test_blockwise_fused_merge_matches_two_step():
             assert abs(true - s_f[bq, j]) <= 2 ** -12 * max(true, 1.0)
 
 
+def test_blockwise_int8_selection_matches_exact():
+    """selection='bucketed_int8' (int8-MXU candidate selection + exact
+    f32 rerank) must return true rows at their exact f32 scores, and
+    the whole pipeline must equal a numpy simulation of its selection
+    semantics: per-query int8 quantization -> integer row scores ->
+    strided-bucket max keys -> global top-cand -> exact f32 rerank.
+    (Comparing against the unbucketed exact top-k instead would test
+    the bucket-collision rate of an adversarially dense synthetic, not
+    the kernel — the production margin is measured at 21M shapes in
+    docs/probe_int8_scorer.json.)"""
+    import jax.numpy as jnp
+
+    from vsearch_tpu.ops.bitpack import (INT8_KEY_SHIFT, ROW_BLOCK,
+                                         bitpack_blockwise_topk)
+
+    v = 500
+    n, block, k, bucket, cand = 2500, 1024, 8, 16, 64
+    rng = np.random.default_rng(41)
+    nnz_pad = 8
+    nnz = rng.integers(4, nnz_pad + 1, size=n).astype(np.int32)
+    cols = np.zeros((n, nnz_pad), dtype=np.int32)
+    for i in range(n):
+        cols[i, : nnz[i]] = rng.choice(v, size=nnz[i], replace=False)
+    q = np.zeros((3, v), dtype=np.float32)
+    for i in range(3):
+        active = rng.choice(v, size=64, replace=False)
+        q[i, active] = rng.random(64).astype(np.float32)
+
+    ids_8, s_8 = bitpack_blockwise_topk(
+        jnp.asarray(q), jnp.asarray(cols.astype(np.uint16)),
+        jnp.asarray(nnz), num_cols=v, k=k, block_rows=block,
+        selection="bucketed_int8", bucket=bucket, cand_budget=cand)
+    ids_8, s_8 = np.asarray(ids_8), np.asarray(s_8)
+
+    # (a) rerank exactness: every returned id scores exactly its true
+    # f32 row score (rerank gathers f32 query weights, no bf16)
+    for bq in range(3):
+        for j in range(k):
+            r = ids_8[bq, j]
+            true = np.float32(q[bq, cols[r, : nnz[r]]].sum())
+            np.testing.assert_allclose(s_8[bq, j], true, rtol=1e-6)
+
+    # (b) full selection-semantics simulation in numpy
+    kb = ROW_BLOCK // bucket
+    q8 = np.round(q * (127.0 / q.max(axis=1, keepdims=True))
+                  ).astype(np.int64)
+    for bq in range(3):
+        row_s = np.array([q8[bq, cols[i, : nnz[i]]].sum()
+                          for i in range(n)], dtype=np.int64)
+        all_keys, all_gids = [], []
+        for row0 in range(0, n, block):
+            rows = np.arange(row0, min(row0 + block, n))
+            local = rows - row0
+            keys = (row_s[rows] << INT8_KEY_SHIFT) | local
+            for p in range(kb):
+                sel = keys[local % kb == p]
+                if sel.size:
+                    best = sel.max()
+                    all_keys.append(best)
+                    all_gids.append(row0 + (best & (ROW_BLOCK - 1)))
+        order = np.argsort(-np.asarray(all_keys), kind="stable")[:cand]
+        cand_ids = np.asarray(all_gids)[order]
+        # exact f32 rerank of the simulated candidate set
+        cs = np.array([np.float32(q[bq, cols[i, : nnz[i]]].sum())
+                       for i in cand_ids], dtype=np.float32)
+        top = np.sort(cs)[::-1][:k]
+        np.testing.assert_allclose(np.sort(s_8[bq])[::-1], top,
+                                   rtol=1e-6)
+
+
+def test_blockwise_int8_small_n_falls_back_exact():
+    """cand * bucket > n: the int8 path must fall back to exact
+    selection (the bucket fold would leave < cand candidates) and still
+    return exact results."""
+    import jax.numpy as jnp
+
+    from vsearch_tpu.ops.bitpack import bitpack_blockwise_topk
+
+    v = 300
+    cols, nnz = make_binary_ell(70, v, nnz_max=6, seed=25)
+    q = np.random.default_rng(26).random((2, v)).astype(np.float32)
+    ids_b, scores_b = bitpack_blockwise_topk(
+        jnp.asarray(q), jnp.asarray(cols), jnp.asarray(nnz),
+        num_cols=v, k=10, block_rows=64, selection="bucketed_int8")
+    ids_e, scores_e = exact_topk_host(q, cols, nnz, 10)
+    np.testing.assert_allclose(np.asarray(scores_b), scores_e,
+                               rtol=2e-2)
+
+
 def test_blockwise_k_exceeds_tail():
     """Tail block shorter than k must pad, not crash, and results stay
     exact vs host scoring."""

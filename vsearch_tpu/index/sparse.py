@@ -518,20 +518,36 @@ class BoTIndex(SparseIndex):
             self._block_ell = (jnp.asarray(cols), jnp.asarray(nnz))
         return self._block_ell
 
+    # Block tier candidate selection on the int8 MXU (~2x the bf16
+    # scoring rate on v5e) with an exact f32 rerank of block_cand_budget
+    # survivors (0 -> 2k). Measured at 21M/B=1024/k=100: recall 1.0 vs
+    # exact at cand=2k (docs/probe_int8_scorer.json); set False to pin
+    # the bf16 bucketed scorer.
+    block_int8 = True
+    block_cand_budget = 0
+
+    def _block_selection(self) -> str:
+        sel = self._resolved_selection()
+        if not sel.startswith("bucketed"):
+            return "exact"
+        if self.block_int8 and self.ell.vals is None:
+            return "bucketed_int8"
+        return "bucketed"
+
     def _block_search(self, q, k: int):
         from ..ops.bitpack import bitpack_blockwise_topk
 
         cols_d, nnz_d = self._get_block_ell()
-        sel = self._resolved_selection()
-        sel = "bucketed" if sel.startswith("bucketed") else "exact"
-        key = ("blk", q.shape[0], k, sel)
+        sel = self._block_selection()
+        key = ("blk", q.shape[0], k, sel, self.block_cand_budget)
         if getattr(self, "_block_fn", None) is None \
                 or self._block_fn[0] != key:
             num_cols = self.ell.num_cols
             block = self.stream_block_rows
+            cand = self.block_cand_budget
             fn = jax.jit(lambda qq, c, z: bitpack_blockwise_topk(
                 qq, c, z, num_cols=num_cols, k=k, block_rows=block,
-                selection=sel))
+                selection=sel, cand_budget=cand))
             self._block_fn = (key, fn)
         return self._block_fn[1](q, cols_d, nnz_d)
 
@@ -655,8 +671,7 @@ class BoTIndex(SparseIndex):
 
         mesh, axis_name = self._mesh
         k = min(k, self._true_rows)
-        sel = self._resolved_selection()
-        sel = "bucketed" if sel.startswith("bucketed") else "exact"
+        sel = self._block_selection()
         key = ("mblk", k, sel)
         if self._search_fn is None or self._search_fn[0] != key:
             fn = make_sharded_blockwise_search(

@@ -428,6 +428,106 @@ def _bucketed_keys(q: jax.Array, bitmat: BitMatrix, bucket: int,
     return f(bitmat.words, qT)
 
 
+INT8_KEY_SHIFT = 10  # low bits of the int8 key hold the local row id
+
+
+def prepare_queries_int8(q: jax.Array, padded_bits: int) -> jax.Array:
+    """q [B, V] f32 nonneg -> [VP, B] int8, per-query scale to 127.
+
+    Ranking within a query is scale-invariant, so per-query scaling
+    costs nothing in selection quality beyond rounding (<= 1/254 of the
+    query's max weight per matched term)."""
+    mx = jnp.maximum(jnp.max(q, axis=1, keepdims=True), 1e-6)
+    q8 = jnp.round(q.astype(jnp.float32) * (127.0 / mx)
+                   ).astype(jnp.int8)
+    q8T = q8.T
+    return jnp.pad(q8T, ((0, padded_bits - q8T.shape[0]), (0, 0)))
+
+
+def _make_int8_bucketed_kernel(num_ktiles: int, row_block: int, b: int,
+                               num_cols: int, num_rows: int,
+                               bucket: int):
+    """Int8-MXU variant of the fused bucketed kernel (selection only).
+
+    v5e's int8 MXU peak is ~2x bf16 (probe: docs/probe_int8_scorer.json)
+    and 0/1 plane values are exact in int8, so candidate selection runs
+    the dots at int8 x int8 -> int32. Scores are integers (quantized
+    query weights summed over matched tokens, <= nnz*127 < 2^20), so the
+    key is simply ``score << INT8_KEY_SHIFT | local_row_id`` — no f32
+    bitcast trick needed. Invalid rows carry INT32_MIN, which any valid
+    key (>= 0) beats. Final ranking exactness is restored downstream by
+    an exact rerank over the candidate rows."""
+    from jax.experimental import pallas as pl
+
+    idx_mask = row_block - 1
+    kb = row_block // bucket
+
+    def kernel(bits_ref, q_ref, keys_ref):
+        acc = jnp.zeros((row_block, b), jnp.int32)
+        for kt in range(num_ktiles):
+            words = bits_ref[:, kt * LANES:(kt + 1) * LANES]
+            for p in range(PLANES):
+                lo = kt * TILE_BITS + p * LANES
+                if lo >= num_cols:
+                    continue
+                plane = ((words >> np.uint32(p)) & np.uint32(1)
+                         ).astype(jnp.int8)
+                qblk = q_ref[lo: lo + LANES, :]
+                acc = acc + jnp.dot(plane, qblk,
+                                    preferred_element_type=jnp.int32)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (row_block, b), 0)
+        keys = (acc << INT8_KEY_SHIFT) | row_ids
+        gid = pl.program_id(0) * row_block + row_ids
+        keys = jnp.where(gid < num_rows, keys, jnp.int32(-(2 ** 31)))
+        size = row_block
+        while size > kb:
+            half = size // 2
+            keys = jnp.maximum(keys[:half], keys[half:size])
+            size = half
+        keys_ref[:] = keys
+
+    return kernel
+
+
+def _int8_bucketed_keys(q8T: jax.Array, bitmat: BitMatrix, bucket: int,
+                        row_block: int, interpret: bool) -> jax.Array:
+    """[m, B] int32 candidate keys from the int8 fused kernel
+    (m = padded_rows / bucket). ``q8T`` is a prepare_queries_int8
+    operand — quantize ONCE per batch, not per block."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_pad, w = bitmat.words.shape
+    if n_pad % row_block or row_block & (row_block - 1):
+        raise ValueError(
+            f"row_block {row_block} must be a power of two dividing "
+            f"padded rows {n_pad} (pack pads to ROW_BLOCK={ROW_BLOCK})")
+    b = q8T.shape[1]
+    vp = bitmat.padded_bits
+    kb = row_block // bucket
+    m = n_pad // bucket
+    kernel = _make_int8_bucketed_kernel(bitmat.num_ktiles, row_block, b,
+                                        bitmat.num_cols,
+                                        bitmat.num_rows, bucket)
+    f = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, b), jnp.int32),
+        grid=(n_pad // row_block,),
+        in_specs=[
+            pl.BlockSpec((row_block, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((vp, b), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kb, b), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+    return f(bitmat.words, q8T)
+
+
 def bitpack_bucketed_topk(q: jax.Array, bitmat: BitMatrix, k: int,
                           bucket: int = BUCKET,
                           row_block: int = ROW_BLOCK,
@@ -475,7 +575,8 @@ def bitpack_blockwise_topk(q: jax.Array, cols: jax.Array,
                            block_rows: int = 1 << 18,
                            selection: str = "bucketed",
                            bucket: int = 2 * BUCKET,
-                           interpret: Optional[bool] = None
+                           interpret: Optional[bool] = None,
+                           cand_budget: int = 0
                            ) -> Tuple[jax.Array, jax.Array]:
     """(ids, scores) [B, k] over a DEVICE-RESIDENT compact ELL whose
     packed form would not fit HBM.
@@ -504,8 +605,17 @@ def bitpack_blockwise_topk(q: jax.Array, cols: jax.Array,
     a true hit is lost only when a same-bucket row scores between it
     and the global k-th — measured recall stays 1.0 at 21M/k=100 while
     selection cost halves (probe: scripts/probe_block_parts.py).
+
+    selection='bucketed_int8' runs candidate SELECTION on the int8 MXU
+    (~2x the bf16 rate on v5e — the bf16 scorer is already at the bf16
+    roofline, docs/probe_scorer_variants.json) carrying a
+    ``cand_budget`` margin (default 2k) of candidates, then restores
+    f32-exact scores and ordering with one exact rerank over the
+    survivors. Quantization: per-query scale to int8 127 — rank-
+    invariant per query up to rounding; measured candidate recall at
+    block shapes is 1.0 for cand >= 2k (docs/probe_int8_scorer.json).
     """
-    if selection not in ("exact", "bucketed"):
+    if selection not in ("exact", "bucketed", "bucketed_int8"):
         raise ValueError(f"unknown selection {selection!r}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -521,6 +631,21 @@ def bitpack_blockwise_topk(q: jax.Array, cols: jax.Array,
     pack = _pack_fn(block_rows, nnz_pad, num_cols, interpret)
     q = q.astype(jnp.float32)
 
+    int8 = selection == "bucketed_int8"
+    # int8 candidate carry: selection scores are int8-quantized, so we
+    # carry a cand-sized margin and restore exact order by an exact
+    # rerank over the survivors (measured: cand=2k keeps recall 1.0 at
+    # 21M/k=100 — docs/probe_int8_scorer.json candidate-recall rows)
+    cand = min(max(cand_budget or 2 * k, k), n) if int8 else k
+    if int8 and cand * bucket > n:
+        # the bucket fold leaves fewer than cand candidates in total —
+        # a size where exact blockwise selection is cheap anyway
+        int8, selection, cand = False, "exact", k
+    q8T = None
+    if int8:
+        vp = _round_up(num_cols, TILE_BITS)
+        q8T = prepare_queries_int8(q, vp)
+
     idx_mask = ROW_BLOCK - 1
     kb = ROW_BLOCK // bucket
 
@@ -535,6 +660,29 @@ def bitpack_blockwise_topk(q: jax.Array, cols: jax.Array,
         bm = BitMatrix(words=pack(cols_blk.astype(jnp.int32), nnz_blk),
                        num_rows=true_rows, num_cols=num_cols)
         kloc = min(k, true_rows)
+        if int8:
+            # int8 selection scores are integers (exact in f32 below
+            # 2^20), comparable across blocks because the per-query
+            # quantization scale is fixed for the whole sweep. Invalid
+            # keys decode to -2^21 < 0 <= any real score, so no -inf
+            # masking is needed.
+            keys = _int8_bucketed_keys(q8T, bm, bucket, ROW_BLOCK,
+                                       interpret)
+            m = keys.shape[0]
+            keysT = keys.T  # [b, m]
+            scores = jnp.where(
+                keysT < 0, -jnp.inf,
+                (keysT >> INT8_KEY_SHIFT).astype(jnp.float32))
+            cat_s = jnp.concatenate([scores, best_s], axis=1)
+            s2, pos = jax.lax.top_k(cat_s, cand)
+            in_blk = pos < m
+            pos_blk = jnp.minimum(pos, m - 1)
+            sel_keys = jnp.take_along_axis(keysT, pos_blk, axis=1)
+            gid = ((pos_blk // kb) * ROW_BLOCK + (sel_keys & idx_mask)
+                   + row0)
+            carried = jnp.take_along_axis(
+                best_i, jnp.maximum(pos - m, 0), axis=1)
+            return s2, jnp.where(in_blk, gid, carried)
         if selection == "bucketed" and kloc * bucket <= true_rows:
             keys = _bucketed_keys(q, bm, bucket, ROW_BLOCK, interpret)
             m = keys.shape[0]
@@ -558,8 +706,8 @@ def bitpack_blockwise_topk(q: jax.Array, cols: jax.Array,
         s2, sel = jax.lax.top_k(cat_s, k)
         return s2, jnp.take_along_axis(cat_i, sel, axis=1)
 
-    best_s = jnp.full((b, k), -jnp.inf, jnp.float32)
-    best_i = jnp.zeros((b, k), jnp.int32)
+    best_s = jnp.full((b, cand), -jnp.inf, jnp.float32)
+    best_i = jnp.zeros((b, cand), jnp.int32)
 
     if n_full:
         def body(carry, i):
@@ -584,6 +732,18 @@ def bitpack_blockwise_topk(q: jax.Array, cols: jax.Array,
                         ((0, block_rows - tail),))
         best_s, best_i = step(best_s, best_i, cols_t, nnz_t, tail,
                               n_full * block_rows)
+    if int8:
+        # exact rerank of the cand survivors: one small gather restores
+        # f32-exact scores and ordering, so the int8 quantization only
+        # ever perturbs WHICH cand candidates survive, never the final
+        # ranking among them. ELL vals=None (binary BoT) and the nnz
+        # mask keeps the rerank correct for non-sentinel padding too.
+        from .ell import ELLMatrix
+        from .sketch import exact_rerank
+
+        ell = ELLMatrix(cols=cols, nnz=nnz, vals=None,
+                        num_cols=num_cols, sentinel_padded=False)
+        return exact_rerank(q, ell, best_i, k)
     return best_i, best_s
 
 
