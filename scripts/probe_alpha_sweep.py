@@ -134,7 +134,16 @@ def main():
         return float(np.mean(got >= (kth - tol)[:, None]))
 
     rows = []
-    for c in (1024, 1536, 2048):
+    skip_bitproxy = "--sketch-only" in sys.argv
+    prior = None
+    if skip_bitproxy:
+        # keep the already-measured bitproxy rows in the output file
+        try:
+            with open("docs/probe_alpha_sweep.json") as f:
+                prior = json.load(f)["rows"]
+        except Exception:
+            prior = None
+    for c in () if skip_bitproxy else (1024, 1536, 2048):
         for sel in ("exact", "approx"):
             def full(qx, e, bmx, c=c, sel=sel):
                 cand, _ = bitpack_bucketed_topk(
@@ -177,6 +186,9 @@ def main():
                      "qps": round(B / t_sk, 1), "recall": round(rec, 4)})
         print(json.dumps(rows[-1]), flush=True)
 
+    if prior:
+        rows = [r for r in prior if r["path"] != "sketch_d1024"] + [
+            r for r in rows if r["path"] == "sketch_d1024"]
     out["rows"] = rows
     out["device"] = str(jax.devices()[0])
     with open("docs/probe_alpha_sweep.json", "w") as f:
