@@ -200,6 +200,7 @@ def main():
                 host_cache=(cols, nnz))
     stage_c = {"rows": n_b, "tier": idx._oversize_tier(),
                "selection": idx._resolved_selection(),
+               "block_selection": idx._block_selection(),
                "block_rows": idx.stream_block_rows}
     t0 = time.perf_counter()
     cols_d, nnz_d = idx._get_block_ell()
@@ -209,25 +210,36 @@ def main():
     stage_c["ell_upload_s"] = round(time.perf_counter() - t0, 1)
     stage_c["ell_device_gb"] = round(
         (cols_d.nbytes + nnz_d.nbytes) / 1e9, 2)
-    for b in b_list:
-        qb = make_queries(b, seed=3)
-        idx.search(qb, k=k)  # compile sweep
-        t0 = time.perf_counter()
-        res_c = idx.search(qb, k=k)
-        sweep_s = time.perf_counter() - t0
-        stage_c[f"qps_b{b}"] = round(b / sweep_s, 1)
-        stage_c[f"sweep_s_b{b}"] = round(sweep_s, 2)
-    # recall vs the SAME host-exact scores as stage B
-    res4 = idx.search(q, k=k)
-    recalls_c = []
-    for i in range(4):
-        ex = exacts[i]
-        kth_score = -np.partition(-ex, k - 1)[k - 1]
-        tol = 1e-2 * max(kth_score, 1.0)
-        recalls_c.append(
-            float((ex[np.asarray(res4.ids)[i]] >= kth_score - tol)
-                  .mean()))
-    stage_c["recall_vs_exact"] = round(float(np.mean(recalls_c)), 4)
+    # A/B: the int8-selection path (block_int8=True, the default) vs
+    # the bf16 bucketed scorer, same data and queries — the int8 rows
+    # are the r5 attestation for VERDICT item 2
+    for int8 in (True, False):
+        idx.block_int8 = int8
+        idx._block_fn = None
+        tag = "int8" if int8 else "bf16"
+        for b in b_list:
+            qb = make_queries(b, seed=3)
+            idx.search(qb, k=k)  # compile sweep
+            t0 = time.perf_counter()
+            idx.search(qb, k=k)
+            sweep_s = time.perf_counter() - t0
+            stage_c[f"{tag}_qps_b{b}"] = round(b / sweep_s, 1)
+            stage_c[f"{tag}_sweep_s_b{b}"] = round(sweep_s, 2)
+        # recall vs the SAME host-exact scores as stage B
+        res4 = idx.search(q, k=k)
+        recalls_c = []
+        for i in range(4):
+            ex = exacts[i]
+            kth_score = -np.partition(-ex, k - 1)[k - 1]
+            tol = 1e-2 * max(kth_score, 1.0)
+            recalls_c.append(
+                float((ex[np.asarray(res4.ids)[i]] >= kth_score - tol)
+                      .mean()))
+        stage_c[f"{tag}_recall_vs_exact"] = round(
+            float(np.mean(recalls_c)), 4)
+        print(json.dumps({f"stage_c_{tag}":
+                          {kk: vv for kk, vv in stage_c.items()
+                           if kk.startswith(tag)}}), flush=True)
     out["stage_c"] = stage_c
     print(json.dumps(out))
 

@@ -117,3 +117,42 @@ def test_sharded_blockwise_guards(mesh, rng):
     ids = np.asarray(ids)
     assert (ids < n).all() and (ids >= 0).all()
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_sharded_blockwise_int8_rerank_exact_scores(mesh, rng):
+    """selection='bucketed_int8' composes with the mesh factory: each
+    shard runs int8 candidate selection + exact f32 rerank locally,
+    the ICI merge is over exact scores. Returned ids must carry their
+    TRUE f32 row scores (rerank exactness survives sharding), and the
+    seeded case recovers the exact top-k."""
+    from vsearch_tpu.ops.ell import ELLMatrix
+    from vsearch_tpu.parallel.sharded_search import (
+        make_sharded_blockwise_search, shard_ell)
+
+    n, v, k, nnz_c = 2560, 256, 5, 12
+    cols = np.stack([rng.choice(v, size=nnz_c, replace=False)
+                     for _ in range(n)]).astype(np.int32)
+    nnz = np.full(n, nnz_c, np.int32)
+    q = np.zeros((2, v), np.float32)
+    for i in range(2):
+        active = rng.choice(v, size=48, replace=False)
+        q[i, active] = 0.25 + rng.random(48).astype(np.float32)
+
+    ell = shard_ell(mesh, ELLMatrix(cols=cols, nnz=nnz, vals=None,
+                                    num_cols=v, sentinel_padded=False))
+    fn = make_sharded_blockwise_search(mesh, k=k, num_rows=n,
+                                       ell_template=ell,
+                                       selection="bucketed_int8")
+    ids, scores = fn(jax.numpy.asarray(q), ell)
+    ids, scores = np.asarray(ids), np.asarray(scores)
+    assert (ids < n).all() and (ids >= 0).all()
+    for i in range(2):
+        for j in range(k):
+            true = np.float32(q[i, cols[ids[i, j], :nnz_c]].sum())
+            np.testing.assert_allclose(scores[i, j], true, rtol=1e-6)
+    exact = np.stack([
+        np.sort(np.array([q[i, cols[r, :nnz_c]].sum()
+                          for r in range(n)], np.float32))[::-1][:k]
+        for i in range(2)])
+    np.testing.assert_allclose(np.sort(scores, 1)[:, ::-1], exact,
+                               rtol=1e-6)
