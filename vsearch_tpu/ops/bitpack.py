@@ -641,6 +641,11 @@ def bitpack_blockwise_topk(q: jax.Array, cols: jax.Array,
         # the bucket fold leaves fewer than cand candidates in total —
         # a size where exact blockwise selection is cheap anyway
         int8, selection, cand = False, "exact", k
+    if int8 and nnz_pad * 127 >= (1 << (31 - INT8_KEY_SHIFT)):
+        # int8 score keys carry score << 10 in an int32: safe for any
+        # realistic BoT row (nnz_pad <= 512 -> max score 65,024 << 2^21)
+        # but a pathological nnz_pad >= 16513 could overflow the splice
+        int8, selection, cand = False, "bucketed", k
     q8T = None
     if int8:
         vp = _round_up(num_cols, TILE_BITS)
