@@ -626,7 +626,7 @@ def main():
     # host-streaming fallback in docs/ARCHITECTURE.md). Measured
     # through the BoTIndex API, so per-call result readback is
     # included, exactly as serving pays it.
-    over_qps, over_recall, over_tier = 0.0, None, None
+    over_qps, over_recall, over_tier, over_sel = 0.0, None, None, None
     if args.stream_rows and jax.default_backend() == "tpu":
         from vsearch_tpu.ops.ell import ELLMatrix
 
@@ -645,6 +645,7 @@ def main():
                                num_cols=v, sentinel_padded=False),
                      host_cache=(s_cols, s_nnz))
         over_tier = oidx._oversize_tier()
+        over_sel = oidx._block_selection()
         qs = q[:1024] if args.num_queries >= 1024 else q
         oidx.search(qs, k=args.topk)  # upload + compile sweep
         t0 = time.perf_counter()
@@ -732,6 +733,7 @@ def main():
                                     else None),
         "oversize_rows": args.stream_rows,
         "oversize_tier": over_tier,
+        "oversize_selection": over_sel,
         "oversize_qps": round(over_qps, 1),
         "oversize_recall_vs_exact": (None if over_recall is None
                                      else round(over_recall, 4)),
