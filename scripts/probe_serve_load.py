@@ -4,10 +4,18 @@ Measures the FULL serving stack — HTTP parse, json, coalescer, device
 search, result serialization — under concurrent closed-loop load, where
 previous rounds only attested the device kernels underneath. Starts
 scripts/probe_serve_server.py (bert-base VDR + 200k BoT index) as a
-subprocess that owns the TPU, then drives phases of W concurrent client
-PROCESSES (separate processes, not threads: a GIL-shared client would
-throttle the offered load and understate the server) each sending
-batch-B /search requests for D seconds.
+subprocess that owns the TPU, then drives phases of W concurrent
+closed-loop client THREADS each sending batch-B /search requests for D
+seconds.
+
+Threads, not processes: this host has ONE shared CPU core, and a
+process-per-client design starves both the clients and the server on
+spawn (the first attempt's conc=32 phase never finished spawning).
+The clients are I/O-bound — each thread spends its life blocked on the
+socket waiting for the server's device call — so the GIL costs only the
+microseconds of json encode per request. Aggregate QPS is computed over
+the union active window [first thread start, last thread end], which a
+thread records itself, so client startup cost never leaks into the rate.
 
 Reports per phase: aggregate QPS (queries/s), request p50/p99 ms, error
 count; plus the coalescer's device_calls/requests ratio from /stats and
@@ -19,9 +27,11 @@ Run alone (the server child takes the TPU claim):
 import argparse
 import json
 import os
+import random
 import signal
 import subprocess
 import sys
+import threading
 import time
 import urllib.request
 
@@ -39,22 +49,23 @@ def _get(url, timeout=30):
         return json.loads(resp.read())
 
 
-def worker(url: str, batch: int, rerank: bool, duration: float,
-           wid: int):
-    """Closed-loop client: send batch-B requests until the deadline,
-    emit one JSON line of latencies."""
-    words = ("green tea mars planet einstein relativity city river "
-             "history music film president language science computer "
-             "network model train retrieval document term weight score "
-             "rank vector binary lexical university book island energy"
-             ).split()
-    import random
+WORDS = ("green tea mars planet einstein relativity city river "
+         "history music film president language science computer "
+         "network model train retrieval document term weight score "
+         "rank vector binary lexical university book island energy"
+         ).split()
 
+
+def worker(url: str, batch: int, rerank: bool, duration: float,
+           wid: int, out: dict):
+    """Closed-loop client thread: send batch-B requests until the
+    deadline, record latencies and the actual active window."""
     rng = random.Random(1234 + wid)
     lats, errors = [], 0
-    deadline = time.perf_counter() + duration
+    t_start = time.perf_counter()
+    deadline = t_start + duration
     while time.perf_counter() < deadline:
-        qs = [" ".join(rng.choices(words, k=10)) for _ in range(batch)]
+        qs = [" ".join(rng.choices(WORDS, k=10)) for _ in range(batch)]
         t0 = time.perf_counter()
         try:
             _post(url + "/search",
@@ -63,24 +74,26 @@ def worker(url: str, batch: int, rerank: bool, duration: float,
             lats.append((time.perf_counter() - t0) * 1e3)
         except Exception:
             errors += 1
-    print(json.dumps({"lats_ms": lats, "errors": errors}), flush=True)
+    out[wid] = {"lats_ms": lats, "errors": errors,
+                "t_start": t_start, "t_end": time.perf_counter()}
 
 
 def run_phase(url: str, conc: int, batch: int, rerank: bool,
               duration: float):
-    procs = [subprocess.Popen(
-        [sys.executable, __file__, "--worker", "--url", url,
-         "--batch", str(batch), "--duration", str(duration),
-         "--wid", str(w)] + (["--rerank"] if rerank else []),
-        stdout=subprocess.PIPE, text=True) for w in range(conc)]
-    t0 = time.perf_counter()
+    out = {}
+    threads = [threading.Thread(
+        target=worker, args=(url, batch, rerank, duration, w, out))
+        for w in range(conc)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=duration + 300)
     lats, errors = [], 0
-    for p in procs:
-        out, _ = p.communicate(timeout=duration + 180)
-        d = json.loads(out.strip().splitlines()[-1])
+    for d in out.values():
         lats.extend(d["lats_ms"])
         errors += d["errors"]
-    wall = time.perf_counter() - t0
+    window = (max(d["t_end"] for d in out.values())
+              - min(d["t_start"] for d in out.values()))
     lats.sort()
     n = len(lats)
 
@@ -89,26 +102,16 @@ def run_phase(url: str, conc: int, batch: int, rerank: bool,
 
     return {"conc": conc, "batch": batch, "rerank": rerank,
             "requests": n, "errors": errors,
-            "qps": round(n * batch / wall, 1),
+            "qps": round(n * batch / window, 1),
             "req_p50_ms": pct(0.50), "req_p99_ms": pct(0.99)}
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--worker", action="store_true")
-    ap.add_argument("--url", default=None)
-    ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--rerank", action="store_true")
     ap.add_argument("--duration", type=float, default=10.0)
-    ap.add_argument("--wid", type=int, default=0)
     ap.add_argument("--port", type=int, default=8123)
     ap.add_argument("--num-passages", type=int, default=200_000)
     args = ap.parse_args()
-
-    if args.worker:
-        worker(args.url, args.batch, args.rerank, args.duration,
-               args.wid)
-        return
 
     here = os.path.dirname(os.path.abspath(__file__))
     server_cmd = [sys.executable,
@@ -149,10 +152,19 @@ def main():
             ph = run_phase(url, conc, batch, rerank, args.duration)
             print(json.dumps(ph), flush=True)
             phases.append(ph)
+            # Drain the coalescer queue before the next phase: a
+            # closed-loop phase ends with up to p99-deep backlog still
+            # in flight, which otherwise bleeds into the next phase's
+            # first-request latencies (observed: a 13.7 s rerank p50
+            # inherited from the preceding conc=32 batch=32 queue).
+            time.sleep(max(2.0, (ph["req_p99_ms"] or 0) / 1e3))
+            _post(url + "/search", {"queries": ["drain sentinel"],
+                                    "k": 10, "rerank": False})
 
         stats = _get(url + "/stats")
         out = {"num_passages": args.num_passages,
                "healthz_rtt_ms": round(health_rtt_ms, 2),
+               "client": "threads, single shared host core",
                "phases": phases, "server_stats": stats}
         path = os.path.join(os.path.dirname(here), "docs",
                             "probe_serve_load.json")
