@@ -1,23 +1,25 @@
-"""Alpha-at-scale sweep: candidate budget x selection variant, plus the
-sketch-path A/B (VERDICT r4 items 4 and 7).
+"""Alpha-at-scale sweep: candidate budget x selection variant
+(VERDICT r4 items 4 and 7).
 
 The large real-valued sparse path (binary-support proxy + exact gather
-rerank, ops/sketch.binary_proxy_search) serves recall 0.97 at C=1024 /
-667 QPS on the 2M-row synthetic index; the exact-CSR behavior being
+rerank, ops/two_stage.binary_proxy_search) serves recall 0.97 at C=1024
+/ 667 QPS on the 2M-row synthetic index; the exact-CSR behavior being
 matched (reference: src/ir/retriever/index.py:88-94) is recall 1.0.
 Target: a point with recall >= 0.99 at >= 500 QPS. This probe measures,
 on the SAME index and query set bench.py uses:
 
-  - QPS + recall for C in {1024, 1280, 1536, 1792, 2048}
+  - QPS + recall for C in {1024, 1536, 2048}
   - candidate selection by exact lax.top_k vs approx_max_k (candidates
     feed an exact rerank, so approximate selection only perturbs the
     candidate SET, not the final ordering)
   - stage timing split (proxy+selection vs rerank gather)
-  - the JL-sketch path (ops/sketch.two_stage_search, d=1024) at the
-    same candidate budgets — its earn-or-delete A/B: for sparse-sparse
-    scoring its variance ||q||^2||p||^2/d is large relative to the
-    score spread, so the support proxy should dominate; this measures
-    by how much.
+
+The JL-sketch A/B this probe once carried (--sketch-only) settled the
+earn-or-delete question: d=1024 sketch selection measured recall 0.015
+(C=1024) / 0.023 (C=2048) vs 0.97-0.995 for the support proxy on the
+same index and queries (rows preserved in docs/probe_alpha_sweep.json)
+— the JL path was deleted from ops/ after that run, as predicted by
+its variance ||q||^2||p||^2/d being large against the score spread.
 
 Run alone on the TPU:
     env -u JAX_PLATFORMS python scripts/probe_alpha_sweep.py
@@ -43,8 +45,7 @@ import jax.numpy as jnp  # noqa: E402
 from vsearch_tpu.ops.bitpack import (BUCKET, bitpack_bucketed_topk,  # noqa: E402
                                      pack_ell_device)
 from vsearch_tpu.ops.ell import ELLMatrix, ell_matvec_chunked  # noqa: E402
-from vsearch_tpu.ops.sketch import (exact_rerank, make_projection,  # noqa: E402
-                                    sketch_ell, two_stage_search)
+from vsearch_tpu.ops.two_stage import exact_rerank  # noqa: E402
 
 N = 2_000_000
 V = 29523
@@ -90,8 +91,7 @@ def main():
         row = jnp.arange(n_pad)
         real = (row < N)[:, None]
         # sentinel-padded: pad rows carry col V / val 0, which every
-        # consumer (pack, matvec, rerank, sketch) treats as inert —
-        # sketch_ell REQUIRES this form
+        # consumer (pack, matvec, rerank) treats as inert
         return (jnp.where(real, cols, V),
                 jnp.where(real, NNZ, 0).astype(jnp.int32)[:, 0],
                 jnp.where(real, vals, 0.0).astype(jnp.bfloat16))
@@ -134,16 +134,7 @@ def main():
         return float(np.mean(got >= (kth - tol)[:, None]))
 
     rows = []
-    skip_bitproxy = "--sketch-only" in sys.argv
-    prior = None
-    if skip_bitproxy:
-        # keep the already-measured bitproxy rows in the output file
-        try:
-            with open("docs/probe_alpha_sweep.json") as f:
-                prior = json.load(f)["rows"]
-        except Exception:
-            prior = None
-    for c in () if skip_bitproxy else (1024, 1536, 2048):
+    for c in (1024, 1536, 2048):
         for sel in ("exact", "approx"):
             def full(qx, e, bmx, c=c, sel=sel):
                 cand, _ = bitpack_bucketed_topk(
@@ -167,28 +158,6 @@ def main():
                          "rerank_ms": round((t_full - t_1) * 1e3, 1)})
             print(json.dumps(rows[-1]), flush=True)
 
-    # ---- JL-sketch A/B (earn-or-delete) ---------------------------------
-    # d=1024 bf16 sketch: 4 GB at 2M rows (vs 8 GB for the bit proxy).
-    # Free the proxy first: proxy + sketch + ELL + [B, N] recall scores
-    # would crowd the 16 GB HBM.
-    del proxy
-    _log("building JL sketch...")
-    R = make_projection(V, d=1024, seed=42, dtype=jnp.float32)
-    S = sketch_ell(ell, R, dtype=jnp.bfloat16)
-    jax.block_until_ready(S)
-    for c in (1024, 2048):
-        fsk = jax.jit(lambda qx, e, s, r, c=c: two_stage_search(
-            qx, e, s, r, k=K, num_candidates=c))
-        _log(f"compiling/timing sketch c={c}...")
-        t_sk, r = timeit(fsk, qd, ell, S, R)
-        rec = recall_of(np.asarray(r[0]))
-        rows.append({"path": "sketch_d1024", "c": c, "sel": "approx",
-                     "qps": round(B / t_sk, 1), "recall": round(rec, 4)})
-        print(json.dumps(rows[-1]), flush=True)
-
-    if prior:
-        rows = [r for r in prior if r["path"] != "sketch_d1024"] + [
-            r for r in rows if r["path"] == "sketch_d1024"]
     out["rows"] = rows
     out["device"] = str(jax.devices()[0])
     with open("docs/probe_alpha_sweep.json", "w") as f:

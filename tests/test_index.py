@@ -302,7 +302,7 @@ def test_sparse_candidate_count_clamped(rng):
                     dtype=np.float32,
                     random_state=np.random.RandomState(3))
     mat.data[:] = np.abs(mat.data)
-    for mode in ("sketch", "bitproxy"):
+    for mode in ("bitproxy",):
         idx = SparseIndex(search_mode=mode)
         idx.set_ell(ELLMatrix.from_scipy_csr(mat))
         q = np.abs(rng.normal(size=(2, 80))).astype(np.float32)
@@ -316,7 +316,7 @@ def test_binary_proxy_large_k_fallback(rng):
     """k beyond the bucket capacity falls back to exact selection over
     support scores instead of crashing (review finding, round 3)."""
     from vsearch_tpu.ops.bitpack import pack_ell
-    from vsearch_tpu.ops.sketch import binary_proxy_search
+    from vsearch_tpu.ops.two_stage import binary_proxy_search
 
     mat = sp.random(300, 64, density=0.15, format="csr",
                     dtype=np.float32,

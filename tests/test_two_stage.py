@@ -1,16 +1,20 @@
-"""Tests for the two-stage sketch search (ops/sketch.py)."""
+"""Tests for the two-stage sparse search (ops/two_stage.py).
+
+The JL-sketch first stage these tests once covered was measured and
+removed (recall 0.015-0.023 vs 0.97+ for the support proxy at equal
+candidate budgets on the 2M-row probe — docs/probe_alpha_sweep.json);
+what remains is the support-proxy selection + exact rerank path and the
+exact chunked reference scorer.
+"""
 import numpy as np
 import pytest
 import scipy.sparse as sp
 
-import jax
 import jax.numpy as jnp
 
-from vsearch_tpu.index import BoTIndex, SparseIndex
+from vsearch_tpu.index import SparseIndex
 from vsearch_tpu.ops.ell import ELLMatrix
-from vsearch_tpu.ops.sketch import (exact_rerank, exact_search,
-                                    make_projection, project_queries,
-                                    sketch_ell, two_stage_search)
+from vsearch_tpu.ops.two_stage import exact_rerank, exact_search
 
 
 @pytest.fixture(scope="module")
@@ -26,23 +30,6 @@ def ell_and_q():
     ell = ELLMatrix.from_scipy_csr(mat)
     q = np.abs(rng.normal(size=(4, 300))).astype(np.float32)
     return ell, mat, q
-
-
-def test_projection_unbiased(ell_and_q):
-    ell, mat, q = ell_and_q
-    exact = q @ mat.toarray().T
-
-    def corr(d):
-        R = make_projection(300, d=d, seed=1)
-        s = np.asarray(sketch_ell(ell, R, dtype=jnp.float32))
-        qs = np.asarray(project_queries(jnp.asarray(q), R))
-        approx = qs @ s.T
-        return np.corrcoef(approx.ravel(), exact.ravel())[0, 1]
-
-    c_small, c_large = corr(64), corr(512)
-    assert c_large > 0.6
-    # error shrinks with d
-    assert c_large > c_small
 
 
 def test_exact_rerank_matches_bruteforce(ell_and_q, rng):
@@ -61,20 +48,6 @@ def test_exact_rerank_matches_bruteforce(ell_and_q, rng):
                                    atol=1e-4)
 
 
-def test_two_stage_recovers_topk(ell_and_q):
-    ell, mat, q = ell_and_q
-    R = make_projection(300, d=256, seed=42)
-    s = sketch_ell(ell, R)
-    ids, scores = two_stage_search(jnp.asarray(q), ell, s, R, k=10,
-                                   num_candidates=500)
-    exact = q @ mat.toarray().T
-    hits = 0
-    for b in range(4):
-        true_top = set(np.argsort(-exact[b])[:10].tolist())
-        hits += len(true_top & set(np.asarray(ids)[b].tolist()))
-    assert hits >= 35  # >= 87% recall with C=25% of corpus
-
-
 def test_exact_search_chunked(ell_and_q):
     ell, mat, q = ell_and_q
     ids, scores = exact_search(jnp.asarray(q), ell, k=7, chunk_rows=512)
@@ -84,23 +57,9 @@ def test_exact_search_chunked(ell_and_q):
                                       np.argsort(-exact[b])[:7])
 
 
-def test_sparse_index_sketch_mode(ell_and_q):
-    ell, mat, q = ell_and_q
-    idx = SparseIndex(search_mode="sketch")
-    idx.set_ell(ell)
-    res = idx.search(q, k=5, num_candidates=800)
-    idx2 = SparseIndex(search_mode="exact")
-    idx2.set_ell(ell)
-    res2 = idx2.search(q, k=5)
-    # sketch+rerank with wide candidates matches exact top-1
-    assert (res.ids[:, 0] == res2.ids[:, 0]).mean() >= 0.75
-
-
 def test_binary_proxy_search_recovers_topk(ell_and_q):
     """bitproxy mode: binary-support first stage + exact rerank must
     recover the true top-k when candidates are wide enough."""
-    from vsearch_tpu.index import SparseIndex
-
     ell, mat, q = ell_and_q
     idx = SparseIndex(search_mode="bitproxy")
     idx.set_ell(ell)
@@ -116,10 +75,10 @@ def test_binary_proxy_search_recovers_topk(ell_and_q):
 def test_tight_rerank_budget_keeps_exact_scores(ell_and_q):
     """An operator-set rerank_budget at/below k*nnz_pad must still
     return EXACT weighted scores (rerank rescores the k candidates),
-    not raw JL-sketch dots — downstream thresholds depend on the
+    not stage-1 proxy scores — downstream thresholds depend on the
     scale (review finding, round 3)."""
     ell, mat, q = ell_and_q
-    idx = SparseIndex(search_mode="sketch")
+    idx = SparseIndex(search_mode="bitproxy")
     idx.set_ell(ell)
     # budget so small the candidate cap collapses to k itself
     idx.rerank_budget = 1
@@ -133,29 +92,14 @@ def test_tight_rerank_budget_keeps_exact_scores(ell_and_q):
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-2)
 
 
-def test_sketch_ell_chunked_matches_unchunked(ell_and_q):
-    """Row-chunked sketch accumulation (OOM guard for multi-million-row
-    indexes) must be numerically identical to one-shot (review
-    finding, round 3)."""
-    from vsearch_tpu.ops.sketch import make_projection, sketch_ell
-
-    ell, mat, q = ell_and_q
-    R = make_projection(ell.num_cols, d=64, seed=3)
-    a = np.asarray(sketch_ell(ell, R, chunk_rows=1 << 20),
-                   np.float32)
-    b = np.asarray(sketch_ell(ell, R, chunk_rows=512), np.float32)
-    np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-2)
-
-
 def test_binary_proxy_capacity_uses_true_rows(ell_and_q):
     """Candidate capacity must come from the TRUE row count, not the
     kernel-padded one — a small index padded to 1024 rows previously
     slipped k>rows candidates into top_k (review finding, round 3)."""
     from vsearch_tpu.ops.bitpack import pack_ell
-    from vsearch_tpu.ops.sketch import binary_proxy_search
+    from vsearch_tpu.ops.two_stage import binary_proxy_search
 
     ell, mat, q = ell_and_q  # 2000 true rows, pads to a ROW_BLOCK multiple
-    import jax.numpy as jnp
     bm = pack_ell(ell)
     ids, scores = binary_proxy_search(jnp.asarray(q[:2]), ell, bm,
                                       k=60, num_candidates=1800)

@@ -27,7 +27,7 @@ def make_parser() -> argparse.ArgumentParser:
                     help="shard the index (and beta rerank) over this "
                          "many devices; 0 = single device")
     ap.add_argument("--search_mode", default=None,
-                    choices=["auto", "exact", "bitpack", "sketch",
+                    choices=["auto", "exact", "bitpack",
                              "block", "stream"],
                     help="sparse/BoT scoring path (index.BoTIndex). "
                          "Default 'auto' picks by size and HBM budget, "
@@ -123,7 +123,7 @@ def prepare_retriever(args, ap):
             ap.error("--rerank_budget applies to real-valued sparse "
                      "indexes only (dense search has no rerank stage)")
         # the budget is only read by candidate-based search paths
-        # (bit-proxy / sketch). Resolve which path this index will
+        # (bit-proxy). Resolve which path this index will
         # actually take and reject the flag when that path is exact
         # scoring with no candidate/rerank stage — a bit-packed BoT
         # scorer, an explicit search_mode='exact', or a small index in
@@ -131,8 +131,7 @@ def prepare_retriever(args, ap):
         # (the silent-no-op knob class this validation exists to stop)
         idx = retriever.index
         bitpacked = (isinstance(idx, BoTIndex) and idx._use_bitpack())
-        uses_budget = (not bitpacked
-                       and (idx._use_bitproxy() or idx._use_sketch()))
+        uses_budget = not bitpacked and idx._use_bitproxy()
         if uses_budget and args.mesh_dp:
             # mesh-sharded sparse search scores each shard exactly and
             # merges over ICI — no candidate stage reads the budget
@@ -159,7 +158,7 @@ def prepare_retriever(args, ap):
                      f"resolves to {path}, which has no "
                      "candidate/rerank stage; the budget applies to "
                      "real-valued sparse indexes searched via "
-                     "bit-proxy or sketch candidates")
+                     "bit-proxy candidates")
         retriever.index.rerank_budget = args.rerank_budget
     if args.mesh_dp:
         from ..parallel.mesh import make_mesh

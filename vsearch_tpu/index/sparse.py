@@ -32,15 +32,10 @@ class SparseIndex(DenseIndex):
     index_type = IndexType.SPARSE
     _binary = False
 
-    # two-stage search knobs (see ops/sketch.py): in 'auto' mode
+    # two-stage search knobs (see ops/two_stage.py): in 'auto' mode
     # indexes larger than ``exact_threshold`` rows route through the
-    # binary-support proxy + exact rerank (bitproxy); the JL-sketch
-    # first stage runs only when search_mode='sketch' is explicit
-    # (sketch_dim/sketch_seed apply there)
+    # binary-support proxy + exact rerank (bitproxy)
     exact_threshold = 131072
-    sketch_dim = 1024
-    sketch_seed = 42
-    rerank_exact = True  # exact re-score of sketch candidates
     # max C*nnz_pad scalar gathers PER QUERY for the exact rerank stage.
     # Per-query (not per-call) so a query's results are independent of
     # how many queries share the device call — the serve coalescer
@@ -68,13 +63,11 @@ class SparseIndex(DenseIndex):
             # weights
             raise ValueError(f"search_mode={search_mode!r} supports "
                              "binary bag-of-token indexes only")
-        self.search_mode = search_mode  # 'auto'|'exact'|'sketch'|'bitproxy'
+        self.search_mode = search_mode  # 'auto'|'exact'|'bitproxy'
         if selection is not None:  # else the class default applies
             self.selection = selection
         self.ell: Optional[ELLMatrix] = None
-        self.sketch = None  # [N, d] bf16
         self.bitproxy = None  # support-bits BitMatrix (bitproxy mode)
-        self._projection = None
         super().__init__(index_file, data_file, fp16,
                          low_memory=low_memory)
 
@@ -100,9 +93,7 @@ class SparseIndex(DenseIndex):
         that kept the packed bit matrix (or a sharded-search fn built
         for the old mesh/row count) would silently answer queries
         against the OLD corpus."""
-        self.sketch = None
         self.bitproxy = None
-        self._projection = None
         self._search_fn = None
         self.bitmat = None  # no-op on plain SparseIndex, vital on BoT
         self._host_cache = None
@@ -234,14 +225,10 @@ class SparseIndex(DenseIndex):
         self._true_rows = self.ell.shape[0]
         self.ell = shard_ell(mesh, self.ell, axis_name)
         self._mesh = (mesh, axis_name)
-        self.sketch = None
         self._search_fn = None
         return self
 
     # -- search ------------------------------------------------------------
-    def _use_sketch(self) -> bool:
-        return (self.search_mode == "sketch")
-
     def _use_bitproxy(self) -> bool:
         if self.search_mode == "bitproxy":
             return True
@@ -249,22 +236,9 @@ class SparseIndex(DenseIndex):
             return False
         return self.ell.shape[0] > self.exact_threshold
 
-    def build_sketch(self, d: Optional[int] = None,
-                     seed: Optional[int] = None):
-        """Precompute the [N, d] bf16 projection sketch (ops/sketch.py);
-        called lazily on first large-index search."""
-        from ..ops.sketch import make_projection, sketch_ell
-
-        d = d or self.sketch_dim
-        seed = seed if seed is not None else self.sketch_seed
-        self._projection = make_projection(self.ell.num_cols, d=d,
-                                           seed=seed)
-        self.sketch = jax.jit(sketch_ell)(self.ell, self._projection)
-        return self.sketch
-
     def search(self, q_embs, k: int,
                num_candidates: Optional[int] = None) -> SearchResults:
-        from ..ops.sketch import exact_search, two_stage_search
+        from ..ops.two_stage import exact_search
 
         q = (q_embs.astype(jnp.float32)
              if isinstance(q_embs, jax.Array) else
@@ -308,7 +282,7 @@ class SparseIndex(DenseIndex):
             # k the final top_k crashes, above n approx_max_k crashes
             num_candidates = min(n, max(num_candidates, k))
         if self._use_bitproxy():
-            from ..ops.sketch import binary_proxy_search
+            from ..ops.two_stage import binary_proxy_search
 
             if getattr(self, "bitproxy", None) is None:
                 from ..ops.bitpack import pack_ell
@@ -322,22 +296,6 @@ class SparseIndex(DenseIndex):
                     q, ell, bm, k=k, num_candidates=c))
                 self._search_fn = (key, fn)
             ids, scores = self._search_fn[1](q, self.ell, self.bitproxy)
-        elif self._use_sketch():
-            if self.sketch is None:
-                self.build_sketch()
-            c = num_candidates
-            # rerank whenever enabled — even at c == k (a tight
-            # rerank_budget) the rescore fixes the score SCALE from
-            # raw JL-sketch dots to exact weighted scores, keeping
-            # downstream thresholds stable at any budget
-            rr = self.rerank_exact
-            key = ("s", k, c, rr)
-            if self._search_fn is None or self._search_fn[0] != key:
-                fn = jax.jit(lambda q, ell, s, r: two_stage_search(
-                    q, ell, s, r, k=k, num_candidates=c, rerank=rr))
-                self._search_fn = (key, fn)
-            ids, scores = self._search_fn[1](q, self.ell, self.sketch,
-                                             self._projection)
         else:
             if self._search_fn is None or self._search_fn[0] != ("e", k):
                 fn = jax.jit(lambda q, ell: exact_search(q, ell, k=k))
@@ -401,8 +359,7 @@ class BoTIndex(SparseIndex):
     (ops/bitpack.bitpack_blockwise_topk, no host traffic per query);
     'stream' streams host-resident ELL blocks through the device
     (index/streamed.py) when even the compact ELL exceeds HBM.
-    search_mode: 'auto' | 'exact' | 'bitpack' | 'sketch' | 'block' |
-    'stream'.
+    search_mode: 'auto' | 'exact' | 'bitpack' | 'block' | 'stream'.
     """
 
     index_type = IndexType.BAG_OF_TOKEN

@@ -744,7 +744,7 @@ def bitpack_blockwise_topk(q: jax.Array, cols: jax.Array,
         # ranking among them. ELL vals=None (binary BoT) and the nnz
         # mask keeps the rerank correct for non-sentinel padding too.
         from .ell import ELLMatrix
-        from .sketch import exact_rerank
+        from .two_stage import exact_rerank
 
         ell = ELLMatrix(cols=cols, nnz=nnz, vals=None,
                         num_cols=num_cols, sentinel_padded=False)

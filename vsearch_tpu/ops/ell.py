@@ -268,7 +268,7 @@ def ell_matvec_chunked(q: jax.Array, mat: ELLMatrix,
     """Exact scores [B, N] with bounded [B, chunk, nnz_pad] intermediates.
 
     lax.map over row chunks keeps peak memory at one chunk's gather; use
-    for small/medium N or as the reference for the sketch path.
+    for small/medium N or as the exact reference for the two-stage paths.
     """
     n, nnz_pad = mat.cols.shape
     b = q.shape[0]

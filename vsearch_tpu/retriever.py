@@ -293,7 +293,7 @@ class Retriever(BiEncoder):
                    index_type: Union[None, str, IndexType] = None,
                    search_mode: Optional[str] = None):
         """``search_mode`` (sparse/BoT only) picks the scoring path —
-        'auto' | 'exact' | 'bitpack' | 'sketch' | 'block' | 'stream'
+        'auto' | 'exact' | 'bitpack' | 'block' | 'stream'
         (the latter two are BoT >HBM tiers; see index.BoTIndex). It
         must be set at load time: it decides whether the ELL lands on
         device or stays host-resident."""
